@@ -1,0 +1,154 @@
+"""Configuration for the TPU-native physical-interaction video-prediction framework.
+
+Mirrors the capability surface of the reference Chainer implementation
+(`/root/reference/src/models/train_model.py:772-791` CLI flags and
+`Model.__init__` at train_model.py:484) while being designed for JAX/XLA:
+everything here is static, hashable metadata that parameterizes traced
+programs (no data-dependent control flow leaks into jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# Lower bound used when normalizing predicted kernels
+# (reference: train_model.py:42).
+RELU_SHIFT = 1e-12
+
+# Kernel size for the DNA and CDNA transformation heads
+# (reference: train_model.py:45).
+DNA_KERN_SIZE = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture + rollout configuration.
+
+    Field provenance (reference train_model.py unless noted):
+      * model_type / num_masks / use_state / scheduled_sampling_k /
+        context_frames: Model.__init__ kwargs (484-548).
+      * sequence_length / image size / state dims: CLI defaults (779-787)
+        and the robot-push data contract (make_dataset.py:17-25).
+    """
+
+    model_type: str = "CDNA"  # one of CDNA | DNA | STP
+    num_masks: int = 10
+    use_state: bool = True
+    # k parameter for inverse-sigmoid scheduled sampling; -1 disables it and
+    # the model always feeds back its own predictions after the context
+    # frames (train_model.py:649-657).
+    scheduled_sampling_k: float = 900.0
+    context_frames: int = 2
+    sequence_length: int = 10
+
+    image_height: int = 64
+    image_width: int = 64
+    color_channels: int = 3
+    action_dim: int = 5
+    state_dim: int = 5
+
+    dna_kern_size: int = DNA_KERN_SIZE
+    relu_shift: float = RELU_SHIFT
+
+    # ConvLSTM forget-gate bias added pre-sigmoid (train_model.py:234).
+    forget_bias: float = 1.0
+    # LayerNorm epsilon (chainer L.LayerNormalization default).
+    layer_norm_eps: float = 1e-6
+
+    # --- reference-quirk compatibility switches -------------------------
+    # The reference STP head reuses ONE Linear(6) for every mask, so all
+    # masks receive identical affine params per step (train_model.py:465-467);
+    # the original TF code used distinct params per mask. True reproduces the
+    # reference quirk; False gives each mask its own projection.
+    stp_shared_params: bool = True
+    # The reference scheduled_sample round-trips through CPU numpy and thus
+    # detaches gradients for sampled frames (train_model.py:89-122). True
+    # reproduces that with stop_gradient; False (default) keeps the mixing
+    # differentiable, which is strictly better for training.
+    detach_sampled: bool = False
+
+    # Compute dtype for convolutions / matmuls. Params are always stored in
+    # float32; bfloat16 compute keeps the MXU at full throughput.
+    compute_dtype: str = "float32"
+
+    # State-cost weight (train_model.py:751).
+    state_cost_weight: float = 1e-4
+
+    # Trunk channel plan (train_model.py:500-515).
+    enc_channels: Tuple[int, ...] = (32, 32, 64, 64, 128, 96, 64)
+    lstm_channels: Tuple[int, ...] = (32, 32, 64, 64, 128, 64, 32)
+
+    def __post_init__(self):
+        if self.model_type not in ("CDNA", "DNA", "STP"):
+            raise ValueError(f"No network specified: {self.model_type!r}")
+        if self.model_type == "DNA" and self.num_masks != 1:
+            # reference: train_model.py:389-390
+            raise ValueError("Only one mask is supported for DNA model.")
+        if self.context_frames < 1:
+            raise ValueError("context_frames must be >= 1")
+        if self.sequence_length <= self.context_frames:
+            raise ValueError("sequence_length must exceed context_frames")
+
+    @property
+    def dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def is_cdna(self) -> bool:
+        return self.model_type == "CDNA"
+
+    @property
+    def is_dna(self) -> bool:
+        return self.model_type == "DNA"
+
+    @property
+    def is_stp(self) -> bool:
+        return self.model_type == "STP"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration mirroring the 19 reference CLI flags
+    (train_model.py:772-791)."""
+
+    data_dir: str = "data/processed/brain-robotics-data/push/push_train"
+    output_dir: str = "models"
+    event_log_dir: str = "models"
+    num_iterations: int = 100000
+    pretrained_model: str = ""
+    pretrained_state: str = ""
+    sequence_length: int = 10
+    context_frames: int = 2
+    use_state: bool = True
+    model_type: str = "CDNA"
+    num_masks: int = 10
+    schedsamp_k: float = 900.0
+    train_val_split: float = 0.95
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    validation_interval: int = 200
+    save_interval: int = 50
+    debug: bool = False
+
+    # --- TPU-native additions (no reference equivalent) -----------------
+    seed: int = 0
+    compute_dtype: str = "float32"
+    # Number of data-parallel shards; 0 = use all visible devices.
+    num_devices: int = 0
+    # jax.checkpoint (remat) the per-timestep cell inside the scan to trade
+    # FLOPs for HBM on long rollouts.
+    remat: bool = False
+
+    def model_config(self) -> ModelConfig:
+        return ModelConfig(
+            model_type=self.model_type,
+            num_masks=self.num_masks,
+            use_state=self.use_state,
+            scheduled_sampling_k=self.schedsamp_k,
+            context_frames=self.context_frames,
+            sequence_length=self.sequence_length,
+            compute_dtype=self.compute_dtype,
+        )

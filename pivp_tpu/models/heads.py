@@ -1,0 +1,141 @@
+"""Transformation heads: CDNA, DNA, STP.
+
+Functional re-designs of the reference's StatelessCDNA / StatelessDNA /
+StatelessSTP chains (/root/reference/src/models/train_model.py:278-475).
+Each head takes the trunk outputs and the previous frame and returns a
+stack of candidate transformed frames (B, n_cand, H, W, C) plus the enc7
+activation (kept for activation visualization, mirroring conv_res).
+
+Candidate counts (compositor pairs them with masks 1..num_masks and, like
+both the reference and the original TF model, silently drops extras via
+zip truncation — train_model.py:726-727):
+  * CDNA: 1 + num_masks (synthesized frame + per-mask kernels; the last
+    kernel's output is dropped by the compositor).
+  * DNA: 1 (num_masks must be 1).
+  * STP: num_masks (synthesized frame + num_masks-1 affine warps).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pivp_tpu.config import ModelConfig
+from pivp_tpu.ops import layers, transforms
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# CDNA — convolutional dynamic neural advection (train_model.py:278-351)
+# ---------------------------------------------------------------------------
+
+def cdna_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
+    k_enc, k_lin = jax.random.split(key)
+    ksq = cfg.dna_kern_size ** 2
+    return {
+        # Deconv 1x1 stride 1 == pointwise conv (train_model.py:288).
+        "enc7": layers.deconv2d_init(k_enc, cfg.enc_channels[6],
+                                     cfg.color_channels, 1),
+        # Linear(hidden5_flat -> K*K*num_masks) (train_model.py:289).
+        "cdna_kerns": layers.dense_init(k_lin, hidden5_dim,
+                                        ksq * cfg.num_masks),
+    }
+
+
+def cdna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
+              hidden5: jnp.ndarray, prev_image: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b = prev_image.shape[0]
+    enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
+                                       padding=0))
+    synth = jax.nn.sigmoid(enc7)                       # (B, H, W, C)
+
+    raw = layers.dense(params["cdna_kerns"], hidden5.reshape(b, -1))
+    raw = raw.reshape(b, cfg.num_masks, cfg.dna_kern_size ** 2)
+    kerns = transforms.normalize_cdna_kernels(raw, cfg.relu_shift)
+    moved = transforms.cdna_apply(prev_image, kerns)   # (B, M, H, W, C)
+
+    candidates = jnp.concatenate([synth[:, None], moved], axis=1)
+    return candidates, enc7
+
+
+# ---------------------------------------------------------------------------
+# DNA — per-pixel dynamic neural advection (train_model.py:354-417)
+# ---------------------------------------------------------------------------
+
+def dna_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
+    del hidden5_dim
+    return {
+        # Deconv 1x1 -> K*K channels of per-pixel kernel logits
+        # (train_model.py:364).
+        "enc7": layers.deconv2d_init(key, cfg.enc_channels[6],
+                                     cfg.dna_kern_size ** 2, 1),
+    }
+
+
+def dna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
+             hidden5: jnp.ndarray, prev_image: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    del hidden5
+    enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
+                                       padding=0))
+    out = transforms.dna_apply(prev_image, enc7, cfg.relu_shift)
+    return out[:, None], enc7                          # (B, 1, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# STP — affine spatial transformer predictor (train_model.py:419-475)
+# ---------------------------------------------------------------------------
+
+def stp_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
+    k_enc, k_fc, k_par = jax.random.split(key, 3)
+    params = {
+        "enc7": layers.deconv2d_init(k_enc, cfg.enc_channels[6],
+                                     cfg.color_channels, 1),
+        # Linear(hidden5_flat -> 100) (train_model.py:430, 457-459).
+        "stp_input": layers.dense_init(k_fc, hidden5_dim, 100),
+    }
+    if cfg.stp_shared_params:
+        # Reference quirk: one shared Linear(6) reused for every mask
+        # (train_model.py:431, 465-467).
+        params["identity_params"] = layers.dense_init(k_par, 100, 6)
+    else:
+        keys = jax.random.split(k_par, cfg.num_masks - 1)
+        params["identity_params"] = [layers.dense_init(k, 100, 6)
+                                     for k in keys]
+    return params
+
+
+def stp_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
+             hidden5: jnp.ndarray, prev_image: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b = prev_image.shape[0]
+    # No ReLU before the sigmoid here, unlike CDNA (train_model.py:454-455).
+    enc7 = layers.deconv2d(params["enc7"], enc6, stride=1, padding=0)
+    synth = jax.nn.sigmoid(enc7)
+
+    feat = jax.nn.relu(layers.dense(params["stp_input"],
+                                    hidden5.reshape(b, -1)))
+    identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+                         dtype=feat.dtype)
+
+    warps = []
+    for i in range(cfg.num_masks - 1):
+        proj = (params["identity_params"] if cfg.stp_shared_params
+                else params["identity_params"][i])
+        theta = layers.dense(proj, feat) + identity
+        theta = theta.reshape(b, 2, 3)
+        warps.append(transforms.stp_apply(prev_image, theta))
+
+    candidates = jnp.stack([synth] + warps, axis=1)    # (B, M, H, W, C)
+    return candidates, enc7
+
+
+HEADS = {
+    "CDNA": (cdna_head_init, cdna_head),
+    "DNA": (dna_head_init, dna_head),
+    "STP": (stp_head_init, stp_head),
+}

@@ -1,0 +1,63 @@
+"""Convolutional LSTM cell, TPU-native functional form.
+
+Mirrors the semantics of the reference's BasicConvLSTMCell
+(/root/reference/src/models/train_model.py:216-276): a single fused conv
+over concat(input, h) producing 4*out_ch gate channels split in (j, i, f, o)
+order, `c = c*sigmoid(f + forget_bias) + sigmoid(i)*tanh(j)`,
+`h = tanh(c)*sigmoid(o)`.
+
+Differences by design:
+  * stateless/pure — (c, h) is an explicit carry threaded through
+    `lax.scan`, not object attributes mutated per call;
+  * NHWC layout;
+  * the gate conv takes a static `in_ch` (the reference lazily infers it).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pivp_tpu.ops import layers
+
+
+class LSTMState(NamedTuple):
+    c: jnp.ndarray  # (B, H, W, out_ch)
+    h: jnp.ndarray  # (B, H, W, out_ch)
+
+
+def conv_lstm_init(key, in_ch: int, out_ch: int, filter_size: int = 5,
+                   dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """One fused gate conv: concat(x, h) [in_ch+out_ch] -> 4*out_ch
+    (reference train_model.py:224, 262-266)."""
+    return layers.conv2d_init(key, in_ch + out_ch, 4 * out_ch, filter_size,
+                              dtype=dtype)
+
+
+def zero_state(batch: int, height: int, width: int, out_ch: int,
+               dtype=jnp.float32) -> LSTMState:
+    """Lazy zero-init of (c, h) in the reference (train_model.py:254-257),
+    made explicit here."""
+    shape = (batch, height, width, out_ch)
+    return LSTMState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
+              x: jnp.ndarray, forget_bias: float = 1.0
+              ) -> Tuple[LSTMState, jnp.ndarray]:
+    """One ConvLSTM step. Returns (new_state, h)."""
+    c, h = state
+    inputs_h = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+    gates = layers.conv2d(params, inputs_h, stride=1)
+    # Gate order (j, i, f, o) — reference train_model.py:269.
+    j, i, f, o = jnp.split(gates, 4, axis=-1)
+    cf = c.astype(jnp.float32)
+    new_c = (cf * jax.nn.sigmoid(f.astype(jnp.float32) + forget_bias)
+             + jax.nn.sigmoid(i.astype(jnp.float32))
+             * jnp.tanh(j.astype(jnp.float32)))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o.astype(jnp.float32))
+    new_c = new_c.astype(x.dtype)
+    new_h = new_h.astype(x.dtype)
+    return LSTMState(new_c, new_h), new_h

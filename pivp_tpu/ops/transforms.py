@@ -1,0 +1,207 @@
+"""Motion-transformation primitives for the CDNA / DNA / STP heads and the
+mask compositor.
+
+TPU-first design notes
+----------------------
+The reference applies per-sample CDNA kernels by permuting batch into the
+channel axis and calling a depthwise conv
+(/root/reference/src/models/train_model.py:331-347) — a trick that maps
+poorly onto XLA's `feature_group_count` convention. Here both CDNA and DNA
+are expressed over a *shifted stack*: the K*K zero-padded spatial shifts of
+the previous frame, contracted against the predicted kernels with one
+batched matmul (MXU-friendly, and the backward pass is another matmul).
+CDNA:  out[b,m,h,w,c] = sum_k  kern[b,m,k]    * shifted[b,k,h,w,c]
+DNA:   out[b,h,w,c]   = sum_k  kern[b,h,w,k]  * shifted[b,k,h,w,c]
+
+The shifted stack realizes the true cross-correlation windows
+`padded[:, dx:dx+H, dy:dy+W]`. (The reference's DNA path re-pads the
+bottom/right borders with zeros after slicing — train_model.py:395-405 — a
+port bug that drops up to K-1 rows/cols of real content; its CDNA path and
+the original TF code use the true windows, which is what we implement.)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pivp_tpu.config import DNA_KERN_SIZE, RELU_SHIFT
+
+
+# ---------------------------------------------------------------------------
+# Shifted stack
+# ---------------------------------------------------------------------------
+
+def shifted_stack(image: jnp.ndarray, ksize: int = DNA_KERN_SIZE
+                  ) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, K*K, H, W, C) of zero-padded spatial shifts.
+
+    Index k = dx*K + dy corresponds to the cross-correlation tap
+    padded[h+dx, w+dy] with pad = K//2 (row-major over (dx, dy), matching
+    the reference's kernel flattening order at train_model.py:326 and its
+    DNA double loop at train_model.py:397-398).
+    """
+    pad = ksize // 2
+    b, h, w, c = image.shape
+    padded = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    shifts = [
+        jax.lax.slice(padded, (0, dx, dy, 0), (b, dx + h, dy + w, c))
+        for dx in range(ksize) for dy in range(ksize)
+    ]
+    return jnp.stack(shifts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# CDNA
+# ---------------------------------------------------------------------------
+
+def normalize_cdna_kernels(raw: jnp.ndarray,
+                           relu_shift: float = RELU_SHIFT) -> jnp.ndarray:
+    """ReLU-shift + sum-normalize raw kernel logits to probability kernels.
+
+    raw: (B, M, K*K) flattened kernels from the linear head.
+    Reference: train_model.py:326-329.
+    """
+    k = jax.nn.relu(raw - relu_shift) + relu_shift
+    norm = jnp.sum(k, axis=-1, keepdims=True)
+    return k / norm
+
+
+def cdna_apply(prev_image: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-sample CDNA kernels to the previous frame.
+
+    prev_image: (B, H, W, C); kernels: (B, M, K*K), already normalized.
+    Returns (B, M, H, W, C) — one transformed frame per mask.
+
+    Equivalent to the reference's batch<->channel-swapped depthwise conv
+    (train_model.py:331-347), formulated as a single batched matmul
+    (B, M, KK) @ (B, KK, H*W*C).
+    """
+    b, h, w, c = prev_image.shape
+    ksq = kernels.shape[-1]
+    ksize = int(round(ksq ** 0.5))
+    stack = shifted_stack(prev_image, ksize)            # (B, KK, H, W, C)
+    stack2 = stack.reshape(b, ksq, h * w * c)
+    out = jax.lax.dot_general(
+        kernels.astype(prev_image.dtype), stack2,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=prev_image.dtype,
+    )                                                   # (B, M, H*W*C)
+    return out.reshape(b, kernels.shape[1], h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# DNA
+# ---------------------------------------------------------------------------
+
+def dna_apply(prev_image: jnp.ndarray, kernel_logits: jnp.ndarray,
+              relu_shift: float = RELU_SHIFT) -> jnp.ndarray:
+    """Dynamic neural advection: per-pixel K*K kernels.
+
+    prev_image: (B, H, W, C); kernel_logits: (B, H, W, K*K) (the enc7
+    output). Normalizes over the K*K axis (reference train_model.py:408-410)
+    and computes the per-pixel expectation over the shifted stack
+    (train_model.py:411-414).
+    """
+    ksq = kernel_logits.shape[-1]
+    ksize = int(round(ksq ** 0.5))
+    kern = jax.nn.relu(kernel_logits - relu_shift) + relu_shift
+    kern = kern / jnp.sum(kern, axis=-1, keepdims=True)
+    stack = shifted_stack(prev_image, ksize)            # (B, KK, H, W, C)
+    return jnp.einsum("bkhwc,bhwk->bhwc", stack, kern.astype(stack.dtype))
+
+
+# ---------------------------------------------------------------------------
+# STP — affine spatial transformer
+# ---------------------------------------------------------------------------
+
+def affine_grid(theta: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Build a normalized sampling grid from affine params.
+
+    theta: (B, 2, 3); size: (H, W). Returns (B, H, W, 2) of (x, y) source
+    coordinates in [-1, 1], align-corners convention — semantics of
+    chainer `F.spatial_transformer_grid` used at train_model.py:469.
+    """
+    h, w = size
+    ys = jnp.linspace(-1.0, 1.0, h, dtype=theta.dtype)
+    xs = jnp.linspace(-1.0, 1.0, w, dtype=theta.dtype)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")   # (H, W)
+    ones = jnp.ones_like(grid_x)
+    base = jnp.stack([grid_x, grid_y, ones], axis=-1)      # (H, W, 3)
+    # (B, 2, 3) @ (H*W, 3)^T -> (B, 2, H*W)
+    out = jnp.einsum("bij,hwj->bhwi", theta, base)          # (B, H, W, 2)
+    return out
+
+
+def bilinear_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with zero padding outside the image.
+
+    image: (B, H, W, C); grid: (B, H', W', 2) normalized (x, y) coords.
+    Matches chainer `F.spatial_transformer_sampler` (train_model.py:470).
+    Gather-free formulation: one-hot matmuls over rows/columns keep this on
+    the MXU instead of scattering (H, W are small: 64).
+    """
+    b, h, w, c = image.shape
+    gx = (grid[..., 0] + 1.0) * (w - 1) / 2.0
+    gy = (grid[..., 1] + 1.0) * (h - 1) / 2.0
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = gx - x0
+    wx0 = 1.0 - wx1
+    wy1 = gy - y0
+    wy0 = 1.0 - wy1
+
+    def gather(yi, xi, wgt):
+        # Zero weight for out-of-bounds taps (zero-padding semantics).
+        valid = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = yc * w + xc                                  # (B, H', W')
+        img_flat = image.reshape(b, h * w, c)
+        vals = jnp.take_along_axis(
+            img_flat, flat.reshape(b, -1, 1), axis=1
+        ).reshape(flat.shape + (c,))
+        return vals * (wgt * valid.astype(image.dtype))[..., None]
+
+    out = (gather(y0, x0, wy0 * wx0) + gather(y0, x1, wy0 * wx1)
+           + gather(y1, x0, wy1 * wx0) + gather(y1, x1, wy1 * wx1))
+    return out
+
+
+def stp_apply(prev_image: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Warp prev_image by affine params theta (B, 2, 3)."""
+    grid = affine_grid(theta.astype(prev_image.dtype),
+                       prev_image.shape[1:3])
+    return bilinear_sample(prev_image, grid)
+
+
+# ---------------------------------------------------------------------------
+# Mask compositing
+# ---------------------------------------------------------------------------
+
+def mask_composite(prev_image: jnp.ndarray, transformed: jnp.ndarray,
+                   mask_logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax the masks per pixel and composite the candidates.
+
+    prev_image: (B, H, W, C); transformed: (B, M, H, W, C);
+    mask_logits: (B, H, W, M+1) from the masks head.
+    Returns (output (B, H, W, C), masks (B, H, W, M+1)).
+
+    Semantics follow the original NHWC TF model: relu, then per-pixel
+    softmax over the M+1 mask channels, then
+    output = prev*mask0 + sum_m transformed_m * mask_{m+1}
+    (reference train_model.py:717-728; note the Chainer port's
+    reshape(-1, M+1) on an NCHW tensor scrambles pixels across channels —
+    a port bug we do not reproduce).
+    """
+    masks = jax.nn.softmax(jax.nn.relu(mask_logits), axis=-1)
+    out = prev_image * masks[..., 0:1]
+    out = out + jnp.einsum("bmhwc,bhwm->bhwc", transformed,
+                           masks[..., 1:].astype(transformed.dtype))
+    return out, masks
