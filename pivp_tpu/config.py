@@ -135,6 +135,8 @@ class TrainConfig:
 
     # --- TPU-native additions (no reference equivalent) -----------------
     seed: int = 0
+    image_height: int = 64
+    image_width: int = 64
     compute_dtype: str = "float32"
     # Number of data-parallel shards; 0 = use all visible devices.
     num_devices: int = 0
@@ -150,5 +152,7 @@ class TrainConfig:
             scheduled_sampling_k=self.schedsamp_k,
             context_frames=self.context_frames,
             sequence_length=self.sequence_length,
+            image_height=self.image_height,
+            image_width=self.image_width,
             compute_dtype=self.compute_dtype,
         )

@@ -159,4 +159,6 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
 
 def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = params["w"].astype(x.dtype)
-    return jnp.dot(x, w, preferred_element_type=x.dtype) + params["b"].astype(x.dtype)
+    # Accumulate in f32 on the MXU even under bf16 compute.
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + params["b"].astype(x.dtype)

@@ -1,0 +1,107 @@
+"""Jitted, mesh-sharded train / eval steps.
+
+The reference's `optimizer.update(model, batch, itr)` + define-by-run
+backward (/root/reference/src/models/train_model.py:950 and Chainer
+internals) becomes ONE compiled XLA program: forward scan rollout, backward
+through the scan, Adam update — with the batch sharded over the mesh's
+`data` axis and parameters replicated, so XLA inserts the gradient
+all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pivp_tpu.config import ModelConfig
+from pivp_tpu.models import predictor
+from pivp_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(key: jax.Array, cfg: ModelConfig,
+                       optimizer: optax.GradientTransformation
+                       ) -> TrainState:
+    params = predictor.init_params(key, cfg)
+    return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+
+def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """Adam with the reference's (Chainer-default) hyperparameters:
+    alpha=lr, beta1=0.9, beta2=0.999, eps=1e-8 (train_model.py:860)."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+_METRIC_KEYS = ("loss", "psnr_all", "recon_costs", "psnrs", "state_costs",
+                "psnr_per_image", "ssim")
+
+
+def _loss_fn(params, cfg: ModelConfig, batch, iter_num, rng, remat: bool):
+    images, actions, states = batch
+    out = predictor.rollout(params, cfg, images, actions, states,
+                            iter_num, rng, train=True, remat=remat)
+    return out["loss"], {k: out[k] for k in _METRIC_KEYS}
+
+
+def make_train_step(cfg: ModelConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    remat: bool = False):
+    """Build the jitted train step.
+
+    Signature: step(state, (images, actions, states), iter_num, rng)
+      -> (new_state, metrics). Batches are time-major (T, B, ...);
+    with a mesh, B is sharded over the `data` axis and state is
+    replicated (donated for in-place update).
+    """
+
+    def train_step(state: TrainState, batch, iter_num, rng):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, cfg, batch,
+                                      iter_num, rng, remat)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    bsh = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, (bsh, bsh, bsh), repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
+    """Validation/inference step: train=False (feed-self rollout), returns
+    the metrics dict plus generated images/states."""
+
+    def eval_step(params, batch, rng):
+        images, actions, states = batch
+        out = predictor.rollout(params, cfg, images, actions, states,
+                                jnp.float32(0.0), rng, train=False)
+        return out
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    repl = NamedSharding(mesh, P())
+    bsh = mesh_lib.batch_sharding(mesh)
+    return jax.jit(eval_step,
+                   in_shardings=(repl, (bsh, bsh, bsh), repl))

@@ -1,0 +1,127 @@
+"""Training CLI — same 19 public flags (names, types, defaults) as the
+reference entry point (/root/reference/src/models/train_model.py:772-791),
+plus TPU-native extras (--seed, --compute_dtype, --num_devices, --remat,
+--synthetic, --profile_dir).
+
+Usage: python -m pivp_tpu.training.train_cli [OPTIONS]
+"""
+
+from __future__ import annotations
+
+import logging
+
+import click
+
+from pivp_tpu.config import TrainConfig
+from pivp_tpu.utils import logging_utils
+
+
+@click.command()
+@click.option('--data_dir', type=click.Path(),
+              default='data/processed/brain-robotics-data/push/push_train',
+              help='Directory containing data.')
+@click.option('--output_dir', type=click.Path(), default='models',
+              help='Directory for model checkpoints.')
+@click.option('--event_log_dir', type=click.Path(), default='models',
+              help='Directory for writing summary.')
+@click.option('--num_iterations', type=click.INT, default=100000,
+              help='Number of training iterations.')
+@click.option('--pretrained_model', type=click.Path(), default='',
+              help='Filepath of a pretrained model to initialize from.')
+@click.option('--pretrained_state', type=click.Path(), default='',
+              help='Filepath of a pretrained optimizer state to '
+                   'initialize from.')
+@click.option('--sequence_length', type=click.INT, default=10,
+              help='Sequence length, including context frames.')
+@click.option('--context_frames', type=click.INT, default=2,
+              help='Number of frames before predictions.')
+@click.option('--use_state', type=click.INT, default=1,
+              help='Whether or not to give the state+action to the model.')
+@click.option('--model_type', type=click.STRING, default='CDNA',
+              help='Model architecture to use - CDNA, DNA, or STP.')
+@click.option('--num_masks', type=click.INT, default=10,
+              help='Number of masks, usually 1 for DNA, 10 for CDNA, STP.')
+@click.option('--schedsamp_k', type=click.FLOAT, default=900.0,
+              help='The k parameter for scheduled sampling. -1 for none.')
+@click.option('--train_val_split', type=click.FLOAT, default=0.95,
+              help='The percentage of data to use for the training set.')
+@click.option('--batch_size', type=click.INT, default=32,
+              help='Batch size for training.')
+@click.option('--learning_rate', type=click.FLOAT, default=0.001,
+              help='The base learning rate of the generator.')
+@click.option('--gpu', type=click.INT, default=-1,
+              help='Accepted for reference CLI compatibility; device '
+                   'selection is mesh-based on TPU (see --num_devices).')
+@click.option('--validation_interval', type=click.INT, default=200,
+              help='How often (epochs) to run the validation sweep.')
+@click.option('--save_interval', type=click.INT, default=50,
+              help='How often (epochs) to save a model checkpoint.')
+@click.option('--debug', type=click.INT, default=0, help='Debug mode.')
+# --- TPU-native extras ---------------------------------------------------
+@click.option('--seed', type=click.INT, default=0, help='PRNG seed.')
+@click.option('--compute_dtype', type=click.STRING, default='float32',
+              help='float32 or bfloat16 compute.')
+@click.option('--num_devices', type=click.INT, default=0,
+              help='Data-parallel devices (0 = all visible).')
+@click.option('--remat', type=click.INT, default=0,
+              help='Rematerialize the scan step (memory for FLOPs).')
+@click.option('--synthetic', type=click.INT, default=0,
+              help='Train on N synthetic sequences instead of data_dir.')
+@click.option('--profile_dir', type=click.Path(), default='',
+              help='If set, capture a jax.profiler trace of a few steps.')
+def main(data_dir, output_dir, event_log_dir, num_iterations,
+         pretrained_model, pretrained_state, sequence_length,
+         context_frames, use_state, model_type, num_masks, schedsamp_k,
+         train_val_split, batch_size, learning_rate, gpu,
+         validation_interval, save_interval, debug, seed, compute_dtype,
+         num_devices, remat, synthetic, profile_dir):
+    """Train the video prediction model on processed robot-push data."""
+    logging_utils.setup_logging(
+        logging.DEBUG if debug else logging.INFO)
+    logger = logging.getLogger(__name__)
+
+    if debug:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
+    cfg = TrainConfig(
+        data_dir=data_dir, output_dir=output_dir,
+        event_log_dir=event_log_dir, num_iterations=num_iterations,
+        pretrained_model=pretrained_model,
+        pretrained_state=pretrained_state,
+        sequence_length=sequence_length, context_frames=context_frames,
+        use_state=bool(use_state), model_type=model_type,
+        num_masks=num_masks, schedsamp_k=schedsamp_k,
+        train_val_split=train_val_split, batch_size=batch_size,
+        learning_rate=learning_rate,
+        validation_interval=validation_interval,
+        save_interval=save_interval, debug=bool(debug), seed=seed,
+        compute_dtype=compute_dtype, num_devices=num_devices,
+        remat=bool(remat),
+    )
+
+    logger.info('Training the model')
+    logger.info('Model: %s', model_type)
+    logger.info('# Minibatch-size: %s', batch_size)
+    logger.info('# Num iterations: %s', num_iterations)
+
+    arrays = None
+    if synthetic:
+        from pivp_tpu.data import synthetic as synth
+        arrays = synth.generate_sequences(
+            synthetic, sequence_length, seed=seed)
+        logger.info('Using %d synthetic sequences', synthetic)
+
+    from pivp_tpu.training import loop
+
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            result = loop.run_training(cfg, arrays=arrays)
+    else:
+        result = loop.run_training(cfg, arrays=arrays)
+    logger.info('Done; checkpoints in %s', result["save_dir"])
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,71 @@
+"""Tests for the synthetic generator, map.csv dataset contract, and the
+epoch batcher."""
+
+import numpy as np
+
+from pivp_tpu.data import dataset, synthetic
+
+
+def test_synthetic_shapes_and_range():
+    imgs, acts, stas = synthetic.generate_sequences(3, 6, 32, 32)
+    assert imgs.shape == (3, 6, 32, 32, 3)
+    assert acts.shape == (3, 6, 5)
+    assert stas.shape == (3, 6, 5)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # Frames must actually move.
+    assert np.abs(imgs[0, 0] - imgs[0, -1]).sum() > 0
+
+
+def test_processed_dir_roundtrip(tmp_path):
+    """write_processed_dir emits the exact map.csv/npy contract of the
+    reference ETL (make_dataset.py:122-158), load_sequences reads it."""
+    out = str(tmp_path / "processed")
+    synthetic.write_processed_dir(out, num_sequences=4, sequence_length=5,
+                                  height=16, width=16)
+    imgs, acts, stas = dataset.load_sequences(out)
+    assert imgs.shape == (4, 5, 16, 16, 3)
+    assert acts.shape == (4, 5, 5)
+    assert stas.shape == (4, 5, 5)
+    rows = dataset.load_map_csv(out)
+    assert rows[0][:5] == ["id", "img_bitmap_path", "img_np_path",
+                           "action_np_path", "state_np_path"]
+
+
+def test_train_val_split():
+    arrays = (np.arange(20).reshape(20, 1), np.arange(20).reshape(20, 1),
+              np.arange(20).reshape(20, 1))
+    train, val = dataset.train_val_split(arrays, 0.95)
+    assert train[0].shape[0] == 19
+    assert val[0].shape[0] == 1
+
+
+def test_epoch_batcher_without_replacement():
+    n = 10
+    arrays = (np.arange(n).reshape(n, 1, 1, 1, 1).astype(np.float32)
+              * np.ones((n, 2, 1, 1, 1), np.float32),
+              np.zeros((n, 2, 5), np.float32),
+              np.zeros((n, 2, 5), np.float32))
+    b = dataset.EpochBatcher(arrays, batch_size=5, seed=1)
+    first = b.next()
+    second = b.next()
+    assert b.is_new_epoch
+    ids = np.concatenate([first[0][0, :, 0, 0, 0],
+                          second[0][0, :, 0, 0, 0]])
+    # One full epoch = every sequence exactly once.
+    assert sorted(ids.tolist()) == list(range(n))
+
+
+def test_epoch_batcher_time_major():
+    imgs, acts, stas = synthetic.generate_sequences(6, 4, 16, 16)
+    b = dataset.EpochBatcher((imgs, acts, stas), batch_size=2)
+    bi, ba, bs = b.next()
+    assert bi.shape == (4, 2, 16, 16, 3)
+    assert ba.shape == (4, 2, 5)
+    assert bs.shape == (4, 2, 5)
+
+
+def test_eval_batches_pads_final():
+    imgs, acts, stas = synthetic.generate_sequences(5, 3, 16, 16)
+    batches = list(dataset.eval_batches((imgs, acts, stas), batch_size=2))
+    assert len(batches) == 3
+    assert all(b[0].shape[1] == 2 for b in batches)
