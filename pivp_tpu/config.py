@@ -74,6 +74,16 @@ class ModelConfig:
     # float32; bfloat16 compute keeps the MXU at full throughput.
     compute_dtype: str = "float32"
 
+    # Collapse the masked CDNA mixture into one per-pixel kernel and fuse
+    # the composite (see transforms.fused_cdna_composite) — algebraically
+    # identical to the unfused path, avoids materializing the
+    # (B, M, H, W, C) transformed stack. Disable to run the literal
+    # candidate-stack formulation.
+    fused_cdna: bool = True
+    # Use the Pallas local-kernel-apply op for the K*K tap application in
+    # the fused CDNA / DNA paths (TPU only; falls back to XLA otherwise).
+    use_pallas: bool = False
+
     # State-cost weight (train_model.py:751).
     state_cost_weight: float = 1e-4
 
@@ -87,6 +97,10 @@ class ModelConfig:
         if self.model_type == "DNA" and self.num_masks != 1:
             # reference: train_model.py:389-390
             raise ValueError("Only one mask is supported for DNA model.")
+        if self.compute_dtype not in ("float32", "bfloat16", "float16"):
+            raise ValueError(
+                f"compute_dtype must be float32/bfloat16/float16, got "
+                f"{self.compute_dtype!r}")
         if self.context_frames < 1:
             raise ValueError("context_frames must be >= 1")
         if self.sequence_length <= self.context_frames:
@@ -143,6 +157,16 @@ class TrainConfig:
     # jax.checkpoint (remat) the per-timestep cell inside the scan to trade
     # FLOPs for HBM on long rollouts.
     remat: bool = False
+    # Pallas local-kernel-apply for the CDNA/DNA tap application.
+    use_pallas: bool = False
+    # Fused CDNA+composite evaluation (see ModelConfig.fused_cdna).
+    fused_cdna: bool = True
+    # Optimizer steps executed per device dispatch (amortizes host/tunnel
+    # latency; per-iteration metrics are still recorded). 1 = reference
+    # behavior of one dispatch per iteration.
+    steps_per_call: int = 1
+    # Abort + save an emergency checkpoint if the loss goes non-finite.
+    nan_guard: bool = True
 
     def model_config(self) -> ModelConfig:
         return ModelConfig(
@@ -155,4 +179,6 @@ class TrainConfig:
             image_height=self.image_height,
             image_width=self.image_width,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            fused_cdna=self.fused_cdna,
         )

@@ -59,6 +59,8 @@ def main(model_dir, model_name, data_index, models_dir, data_dir,
          original_image_width, downscale_factor, gpu, gif, renormalize):
     """Predict the next TIME_STEP frames from a trained MODEL_DIR/MODEL_NAME."""
     logging_utils.setup_logging()
+    from pivp_tpu.utils import compile_cache
+    compile_cache.enable()
     out = predict_lib.predict_and_render(
         model_dir, model_name, data_index, models_dir=models_dir,
         data_dir=data_dir, time_step=time_step, model_type=model_type,

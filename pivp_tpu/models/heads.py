@@ -45,19 +45,26 @@ def cdna_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
     }
 
 
-def cdna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
-              hidden5: jnp.ndarray, prev_image: jnp.ndarray
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b = prev_image.shape[0]
+def cdna_head_parts(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
+                    hidden5: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared CDNA computations: synthesized frame + normalized kernels.
+    Returns (synth (B,H,W,C), kerns (B,M,K*K), enc7)."""
+    b = enc6.shape[0]
     enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
                                        padding=0))
-    synth = jax.nn.sigmoid(enc7)                       # (B, H, W, C)
-
+    synth = jax.nn.sigmoid(enc7)
     raw = layers.dense(params["cdna_kerns"], hidden5.reshape(b, -1))
     raw = raw.reshape(b, cfg.num_masks, cfg.dna_kern_size ** 2)
     kerns = transforms.normalize_cdna_kernels(raw, cfg.relu_shift)
-    moved = transforms.cdna_apply(prev_image, kerns)   # (B, M, H, W, C)
+    return synth, kerns, enc7
 
+
+def cdna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
+              hidden5: jnp.ndarray, prev_image: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    synth, kerns, enc7 = cdna_head_parts(params, cfg, enc6, hidden5)
+    moved = transforms.cdna_apply(prev_image, kerns)   # (B, M, H, W, C)
     candidates = jnp.concatenate([synth[:, None], moved], axis=1)
     return candidates, enc7
 

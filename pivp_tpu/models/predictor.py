@@ -183,15 +183,28 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     x = layers.deconv2d(params["enc6"], x, stride=2, padding=1, outsize=r0)
     enc6 = relu(layers.layer_norm_flat(params["norm_enc6"], x, eps))
 
-    # Head: candidate transformed frames (train_model.py:711-714).
-    _, head_fn = heads.HEADS[cfg.model_type]
-    candidates, enc7 = head_fn(params["head"], cfg, enc6, h5, prev_image)
-
-    # Masks + composite (train_model.py:717-728). zip-truncation: only the
-    # first num_masks candidates are composited.
+    # Head + masks + composite (train_model.py:711-728).
     mask_logits = layers.deconv2d(params["masks"], enc6, stride=1, padding=0)
-    gen_image, _ = transforms.mask_composite(
-        prev_image, candidates[:, :cfg.num_masks], mask_logits)
+    if cfg.is_cdna and cfg.fused_cdna:
+        # Fused path: masked CDNA mixture collapsed to one per-pixel
+        # kernel (transforms.fused_cdna_composite) — algebraically equal
+        # to the candidate-stack + zip-truncated composite below.
+        synth, kerns, enc7 = heads.cdna_head_parts(
+            params["head"], cfg, enc6, h5)
+        local = None
+        if cfg.use_pallas:
+            from pivp_tpu.ops.pallas import local_apply as pallas_apply
+            local = pallas_apply.local_kernel_apply
+        gen_image = transforms.fused_cdna_composite(
+            prev_image, synth, kerns, mask_logits, local_apply=local)
+    else:
+        # Candidate-stack formulation; zip-truncation keeps only the
+        # first num_masks candidates.
+        _, head_fn = heads.HEADS[cfg.model_type]
+        candidates, enc7 = head_fn(params["head"], cfg, enc6, h5,
+                                   prev_image)
+        gen_image, _ = transforms.mask_composite(
+            prev_image, candidates[:, :cfg.num_masks], mask_logits)
 
     # State predictor fed back each step (train_model.py:730-731).
     gen_state = layers.dense(params["state_pred"],

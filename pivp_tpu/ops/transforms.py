@@ -92,6 +92,48 @@ def cdna_apply(prev_image: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, kernels.shape[1], h, w, c)
 
 
+def fused_cdna_composite(prev_image: jnp.ndarray, synth: jnp.ndarray,
+                         kernels: jnp.ndarray, mask_logits: jnp.ndarray,
+                         local_apply=None) -> jnp.ndarray:
+    """CDNA transform + mask compositing in one pass, never materializing
+    the (B, M, H, W, C) per-mask transformed stack.
+
+    Algebraic identity: with masks m_0..m_M (per-pixel softmax) and CDNA
+    kernels k_0..k_{M-2} (the compositor's zip truncation uses only the
+    first num_masks candidates = synth + M-1 CDNA transforms;
+    train_model.py:726-727),
+
+        out = prev*m_0 + synth*m_1 + sum_j (k_j (*) prev) * m_{j+2}
+            = prev*m_0 + synth*m_1 + sum_t w_t * shift_t(prev),
+        w[b,h,w,t] = sum_j masks[b,h,w,j+2] * kernels[b,j,t]
+
+    i.e. the masked CDNA mixture collapses to ONE per-pixel (DNA-style)
+    kernel w computed by a (HW, M-1) @ (M-1, K*K) MXU matmul per sample.
+    HBM traffic drops from O(B*M*HWC) to O(B*HW*K^2).
+
+    Args:
+      prev_image: (B, H, W, C); synth: (B, H, W, C) sigmoid(enc7);
+      kernels: (B, M, K*K) normalized; mask_logits: (B, H, W, M+1).
+      local_apply: optional override for the per-pixel K*K tap application
+        (e.g. the Pallas kernel); defaults to the shifted-stack einsum.
+    """
+    masks = jax.nn.softmax(jax.nn.relu(mask_logits), axis=-1)
+    m = kernels.shape[1]
+    # Per-pixel combined kernel from the M-1 used CDNA kernels.
+    w = jnp.einsum("bhwm,bmk->bhwk", masks[..., 2:].astype(kernels.dtype),
+                   kernels[:, :m - 1])
+    out = prev_image * masks[..., 0:1] + synth * masks[..., 1:2]
+    if local_apply is None:
+        ksq = w.shape[-1]
+        ksize = int(round(ksq ** 0.5))
+        stack = shifted_stack(prev_image, ksize)
+        out = out + jnp.einsum("bkhwc,bhwk->bhwc", stack,
+                               w.astype(stack.dtype))
+    else:
+        out = out + local_apply(prev_image, w)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DNA
 # ---------------------------------------------------------------------------

@@ -69,6 +69,10 @@ def batch_shardings(mesh: Mesh):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the batch axis sharded over `data`."""
+    """Device_put a host batch with the batch axis sharded over `data`.
+    On a single-device mesh, plain device_put (the GSPMD layout path is
+    pure overhead there)."""
+    if mesh.size <= 1:
+        return jax.device_put(batch)
     s = batch_sharding(mesh)
     return jax.device_put(batch, s)

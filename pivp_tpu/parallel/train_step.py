@@ -23,6 +23,14 @@ from pivp_tpu.models import predictor
 from pivp_tpu.parallel import mesh as mesh_lib
 
 
+def _use_mesh(mesh: Optional[Mesh]) -> bool:
+    """GSPMD sharding annotations only pay off on >1 device; on a single
+    chip the partitioned-executable path adds pure overhead (measured
+    ~10^4x slower through remote-attached runtimes), so fall back to
+    plain jit."""
+    return mesh is not None and mesh.size > 1
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -75,13 +83,61 @@ def make_train_step(cfg: ModelConfig,
         new_state = TrainState(new_params, new_opt, state.step + 1)
         return new_state, metrics
 
-    if mesh is None:
+    if not _use_mesh(mesh):
         return jax.jit(train_step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
     bsh = mesh_lib.batch_sharding(mesh)
     return jax.jit(
         train_step,
+        in_shardings=(repl, (bsh, bsh, bsh), repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_multi(cfg: ModelConfig,
+                     optimizer: optax.GradientTransformation,
+                     mesh: Optional[Mesh] = None,
+                     remat: bool = False):
+    """K optimizer steps per dispatch: scan over a leading batch axis.
+
+    Signature: multi(state, batches, iter0, rng) -> (state, metrics)
+    where batches = (images (K,T,B,...), actions (K,T,B,A),
+    states (K,T,B,S)) and metrics holds per-step losses/psnrs of shape
+    (K,). One host->device round-trip per K steps — this is the
+    high-throughput path for remote-attached TPUs and the benchmark
+    harness (no reference equivalent; the reference dispatches per
+    iteration, train_model.py:937-950).
+    """
+
+    def multi_step(state: TrainState, batches, iter0, rng):
+        k_total = batches[0].shape[0]
+        ks = jnp.arange(k_total)
+
+        def body(state, xs):
+            k, batch = xs
+            grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(
+                state.params, cfg, batch,
+                iter0 + k.astype(jnp.float32),
+                jax.random.fold_in(rng, k), remat)
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            out = {"loss": metrics["loss"],
+                   "psnr_all": metrics["psnr_all"]}
+            return TrainState(new_params, new_opt, state.step + 1), out
+
+        return jax.lax.scan(body, state, (ks, batches))
+
+    if not _use_mesh(mesh):
+        return jax.jit(multi_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(None, None, mesh_lib.DATA_AXIS))
+    return jax.jit(
+        multi_step,
         in_shardings=(repl, (bsh, bsh, bsh), repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -98,7 +154,7 @@ def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
                                 jnp.float32(0.0), rng, train=False)
         return out
 
-    if mesh is None:
+    if not _use_mesh(mesh):
         return jax.jit(eval_step)
 
     repl = NamedSharding(mesh, P())

@@ -80,6 +80,9 @@ def run_training(cfg: TrainConfig,
 
     train_step = ts_lib.make_train_step(mcfg, optimizer, mesh,
                                         remat=cfg.remat)
+    train_multi = (ts_lib.make_train_multi(mcfg, optimizer, mesh,
+                                           remat=cfg.remat)
+                   if cfg.steps_per_call > 1 else None)
     eval_step = ts_lib.make_eval_step(mcfg, mesh)
 
     if run_name is None:
@@ -100,29 +103,69 @@ def run_training(cfg: TrainConfig,
 
     epoch_start = time.time()
     last_metrics = None
-    for itr in range(cfg.num_iterations):
-        batch = batcher.next()
-        batch = mesh_lib.shard_batch(mesh, batch)
+    itr = 0
+    while itr < cfg.num_iterations:
         rng, step_key = jax.random.split(rng)
-        state, metrics = train_step(state, batch, jnp.float32(itr),
-                                    step_key)
-        last_metrics = metrics
-        # Device scalars appended lazily; forced at epoch boundaries only,
-        # so steps keep dispatching asynchronously.
-        local_losses.append(metrics["loss"])
-        local_psnrs.append(metrics["psnr_all"])
+        if cfg.steps_per_call > 1:
+            # Multi-step dispatch: K optimizer steps per device call
+            # (amortizes host/tunnel latency). Per-iteration metrics are
+            # recovered from the stacked (K,) outputs; epoch-level
+            # bookkeeping fires at call granularity.
+            k = min(cfg.steps_per_call, cfg.num_iterations - itr)
+            host_batches = []
+            new_epoch = False
+            for _ in range(k):
+                host_batches.append(batcher.next())
+                new_epoch = new_epoch or batcher.is_new_epoch
+            stacked = tuple(
+                np.stack([b[i] for b in host_batches])
+                for i in range(3))
+            if mesh.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                stacked = jax.device_put(stacked, NamedSharding(
+                    mesh, P(None, None, mesh_lib.DATA_AXIS)))
+            state, metrics = train_multi(state, stacked,
+                                         jnp.float32(itr), step_key)
+            local_losses.extend(np.asarray(metrics["loss"]).tolist())
+            local_psnrs.extend(np.asarray(metrics["psnr_all"]).tolist())
+            last_metrics = metrics
+            itr += k
+            is_epoch_boundary = new_epoch
+        else:
+            batch = batcher.next()
+            batch = mesh_lib.shard_batch(mesh, batch)
+            state, metrics = train_step(state, batch, jnp.float32(itr),
+                                        step_key)
+            last_metrics = metrics
+            # Device scalars appended lazily; forced at epoch boundaries
+            # only, so steps keep dispatching asynchronously.
+            local_losses.append(metrics["loss"])
+            local_psnrs.append(metrics["psnr_all"])
+            if cfg.debug and (itr < 3 or itr % 50 == 0):
+                logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
+                            float(metrics["loss"]),
+                            float(metrics["psnr_all"]))
+            itr += 1
+            is_epoch_boundary = batcher.is_new_epoch
 
-        if cfg.debug and (itr < 3 or itr % 50 == 0):
-            logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
-                        float(metrics["loss"]),
-                        float(metrics["psnr_all"]))
-
-        if not batcher.is_new_epoch:
+        if not is_epoch_boundary:
             continue
 
         epoch = batcher.epoch
         losses_np = np.asarray([float(x) for x in local_losses])
         psnr_np = np.asarray([float(x) for x in local_psnrs])
+
+        # Failure detection: catch divergence, save an emergency
+        # checkpoint, and abort (no reference equivalent — its only
+        # sanitizer was chainer debug-mode NaN checks).
+        if cfg.nan_guard and not np.isfinite(losses_np).all():
+            save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
+            _save_checkpoint(save_dir, f"nan-epoch{epoch}", state,
+                             global_losses, global_psnr_all,
+                             global_losses_valid, global_psnr_all_valid)
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}; emergency "
+                f"checkpoint saved to {save_dir}")
         global_losses.append(logging_utils.epoch_stats(list(losses_np)))
         global_psnr_all.append(logging_utils.epoch_stats(list(psnr_np)))
         logger.info("[TRAIN] Epoch #: %d (%.2fs)  loss: %.6f  psnr: %.3f",

@@ -65,6 +65,11 @@ from pivp_tpu.utils import logging_utils
               help='Data-parallel devices (0 = all visible).')
 @click.option('--remat', type=click.INT, default=0,
               help='Rematerialize the scan step (memory for FLOPs).')
+@click.option('--use_pallas', type=click.INT, default=0,
+              help='Use the Pallas local-kernel-apply op (TPU).')
+@click.option('--steps_per_call', type=click.INT, default=1,
+              help='Optimizer steps per device dispatch (amortizes host '
+                   'latency; 1 = one dispatch per iteration).')
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
@@ -74,11 +79,15 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
-         num_devices, remat, synthetic, profile_dir):
+         num_devices, remat, use_pallas, steps_per_call, synthetic,
+         profile_dir):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
     logger = logging.getLogger(__name__)
+
+    from pivp_tpu.utils import compile_cache
+    compile_cache.enable()
 
     if debug:
         import jax
@@ -97,7 +106,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         validation_interval=validation_interval,
         save_interval=save_interval, debug=bool(debug), seed=seed,
         compute_dtype=compute_dtype, num_devices=num_devices,
-        remat=bool(remat),
+        remat=bool(remat), use_pallas=bool(use_pallas),
+        steps_per_call=steps_per_call,
     )
 
     logger.info('Training the model')

@@ -44,6 +44,8 @@ def main(model_dir, model_name, models_dir, data_dir, data_index,
     """Render loss curves (and activation maps with --model_name)."""
     logging_utils.setup_logging()
     logger = logging.getLogger(__name__)
+    from pivp_tpu.utils import compile_cache
+    compile_cache.enable()
 
     from pivp_tpu.visualization import visualize as viz
 

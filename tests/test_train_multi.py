@@ -1,0 +1,91 @@
+"""Tests for multi-step-per-dispatch training and the NaN failure guard."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pivp_tpu.config import ModelConfig, TrainConfig
+from pivp_tpu.data import dataset as dataset_lib
+from pivp_tpu.data import synthetic
+from pivp_tpu.parallel import train_step as ts_lib
+
+
+def tiny_cfg(**kw):
+    base = dict(image_height=16, image_width=16, sequence_length=4,
+                context_frames=2, num_masks=3)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_multi_matches_sequential_single_steps():
+    """K steps in one dispatch must equal K sequential single-step calls
+    (same batches, same per-step rng via fold_in)."""
+    cfg = tiny_cfg(scheduled_sampling_k=-1.0)  # rng-independent path
+    opt = ts_lib.make_optimizer(1e-3)
+    k, b = 3, 4
+
+    imgs, acts, stas = synthetic.generate_sequences(b * k, 4, 16, 16)
+    per_step = [
+        dataset_lib.to_time_major(imgs[i * b:(i + 1) * b],
+                                  acts[i * b:(i + 1) * b],
+                                  stas[i * b:(i + 1) * b])
+        for i in range(k)]
+    stacked = tuple(np.stack([s[i] for s in per_step]) for i in range(3))
+
+    rng = jax.random.PRNGKey(5)
+
+    state1 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = ts_lib.make_train_step(cfg, opt, mesh=None)
+    losses_seq = []
+    for i in range(k):
+        state1, m = step(state1, per_step[i], jnp.float32(i),
+                         jax.random.fold_in(rng, i))
+        losses_seq.append(float(m["loss"]))
+
+    state2 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    multi = ts_lib.make_train_multi(cfg, opt, mesh=None)
+    state2, m2 = multi(state2, stacked, jnp.float32(0.0), rng)
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]), losses_seq,
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state1.params),
+                     jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_loop_with_steps_per_call(tmp_path):
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(8, 4, 16, 16)
+    cfg = TrainConfig(
+        num_iterations=6, batch_size=4, sequence_length=4,
+        context_frames=2, num_masks=3, train_val_split=1.0,
+        validation_interval=100, save_interval=100,
+        output_dir=str(tmp_path), image_height=16, image_width=16,
+        steps_per_call=3)
+    result = loop.run_training(cfg, arrays=arrays)
+    assert result["global_losses"].shape[0] >= 1
+    files = os.listdir(result["save_dir"])
+    assert any(f.startswith("training-final") for f in files)
+
+
+def test_nan_guard_aborts_and_checkpoints(tmp_path):
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(8, 4, 16, 16)
+    cfg = TrainConfig(
+        num_iterations=4, batch_size=4, sequence_length=4,
+        context_frames=2, num_masks=3, train_val_split=1.0,
+        validation_interval=100, save_interval=100,
+        output_dir=str(tmp_path), image_height=16, image_width=16,
+        learning_rate=1e18)  # guaranteed divergence
+    with pytest.raises(FloatingPointError):
+        loop.run_training(cfg, arrays=arrays)
+    runs = os.listdir(tmp_path)
+    assert runs, "emergency checkpoint dir missing"
+    files = os.listdir(os.path.join(tmp_path, runs[0]))
+    assert any("nan-epoch" in f for f in files)
