@@ -44,6 +44,13 @@ lint:
 bench:
 	$(PYTHON_INTERPRETER) bench.py
 
+## Build the native C++ components (TFRecord scanner)
+native:
+	g++ -O3 -shared -fPIC -msse4.2 native/tfrecord_index.cc \
+		-o native/libtfrecord_index.so || \
+	g++ -O3 -shared -fPIC native/tfrecord_index.cc \
+		-o native/libtfrecord_index.so
+
 ## Delete compiled artifacts
 clean:
 	find . -name "__pycache__" -type d -exec rm -rf {} +

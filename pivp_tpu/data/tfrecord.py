@@ -54,7 +54,26 @@ def _masked_crc(data: bytes) -> int:
 
 
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    """Yield raw record payloads from one tfrecord file."""
+    """Yield raw record payloads from one tfrecord file.
+
+    Uses the native C++ scanner (native/tfrecord_index.cc via
+    pivp_tpu.data.native) for framing + CRC when available; falls back to
+    the pure-Python path below otherwise.
+    """
+    try:
+        from pivp_tpu.data import native
+
+        index = native.index_records(path, verify_crc)
+    except IOError:
+        raise
+    except Exception:  # pragma: no cover - defensive
+        index = None
+    if index is not None:
+        with open(path, "rb") as f:
+            for offset, length in index:
+                f.seek(offset)
+                yield f.read(length)
+        return
     with open(path, "rb") as f:
         while True:
             header = f.read(12)

@@ -242,6 +242,17 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     dtype = cfg.dtype
     images_c = images.astype(dtype)
 
+    if dtype != jnp.float32:
+        # Hoist the f32 -> compute-dtype parameter casts out of the time
+        # scan: layers cast weights at use, which inside lax.scan would
+        # re-cast every timestep (XLA does not reliably hoist
+        # loop-invariant converts). Gradients still accumulate in f32
+        # through the cast's transpose. LayerNorm statistics stay f32
+        # (layer_norm_flat computes in f32 regardless of param dtype).
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dtype)
+            if p.dtype == jnp.float32 else p, params)
+
     feedself = (not train) or (cfg.scheduled_sampling_k == -1)
     if not feedself:
         n_gt = sampling.num_ground_truth(

@@ -64,13 +64,20 @@ def _loss_fn(params, cfg: ModelConfig, batch, iter_num, rng, remat: bool):
 def make_train_step(cfg: ModelConfig,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    remat: bool = False):
+                    remat: bool = False,
+                    spatial_parallel: bool = False):
     """Build the jitted train step.
 
     Signature: step(state, (images, actions, states), iter_num, rng)
       -> (new_state, metrics). Batches are time-major (T, B, ...);
     with a mesh, B is sharded over the `data` axis and state is
     replicated (donated for in-place update).
+
+    `spatial_parallel=True` additionally shards the image HEIGHT axis
+    over the mesh's `model` axis: GSPMD partitions every conv spatially
+    and inserts the halo exchanges over ICI — sequence/spatial
+    parallelism for resolutions that don't fit one chip (no reference
+    equivalent; the reference is single-device).
     """
 
     def train_step(state: TrainState, batch, iter_num, rng):
@@ -87,10 +94,30 @@ def make_train_step(cfg: ModelConfig,
         return jax.jit(train_step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    bsh = mesh_lib.batch_sharding(mesh)
+    if spatial_parallel:
+        # Guard: GSPMD halo exchange silently truncates when a conv's
+        # halo exceeds the neighbor shard (observed: stage-2 activations
+        # off by >10 at 16x16/2-way). The deepest spatial extent is H/8
+        # (a 5x5 ConvLSTM there has halo 2), so require at least 4 rows
+        # per model shard.
+        model_shards = mesh.shape[mesh_lib.MODEL_AXIS]
+        deepest = cfg.image_height // 8
+        if deepest // model_shards < 4:
+            raise ValueError(
+                f"spatial_parallel needs (image_height//8)/model_shards "
+                f">= 4 rows per shard; got {deepest}//{model_shards}. "
+                f"Reduce model_parallel or increase image_height.")
+        # images (T, B, H, W, C): B over data, H over model.
+        img_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS,
+                                       mesh_lib.MODEL_AXIS))
+        vec_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        batch_sh = (img_sh, vec_sh, vec_sh)
+    else:
+        bsh = mesh_lib.batch_sharding(mesh)
+        batch_sh = (bsh, bsh, bsh)
     return jax.jit(
         train_step,
-        in_shardings=(repl, (bsh, bsh, bsh), repl, repl),
+        in_shardings=(repl, batch_sh, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

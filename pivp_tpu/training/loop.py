@@ -171,6 +171,16 @@ def run_training(cfg: TrainConfig,
         logger.info("[TRAIN] Epoch #: %d (%.2fs)  loss: %.6f  psnr: %.3f",
                     epoch, time.time() - epoch_start, losses_np.mean(),
                     psnr_np.mean())
+        _write_event(cfg.event_log_dir, run_name, {
+            "epoch": epoch, "iteration": itr,
+            "train_loss": logging_utils.epoch_stats(list(losses_np)),
+            "train_psnr": logging_utils.epoch_stats(list(psnr_np)),
+            "elapsed_s": time.time() - epoch_start,
+            "summaries": (logging_utils.frame_summaries("train",
+                                                        last_metrics)
+                          if "recon_costs" in (last_metrics or {})
+                          else []),
+        })
         local_losses, local_psnrs = [], []
         epoch_start = time.time()
 
@@ -213,6 +223,21 @@ def run_training(cfg: TrainConfig,
         "last_metrics": last_metrics,
         "model_config": mcfg,
     }
+
+
+def _write_event(event_log_dir: str, run_name: str, record: Dict) -> None:
+    """Append one JSON line of epoch telemetry. Functional replacement of
+    the reference's --event_log_dir flag, which existed but was never
+    used (train_model.py:775); summaries follow its Model.summaries
+    naming (744-759)."""
+    if not event_log_dir:
+        return
+    import json
+
+    os.makedirs(event_log_dir, exist_ok=True)
+    path = os.path.join(event_log_dir, f"{run_name}-events.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
 
 
 def _save_checkpoint(save_dir: str, epoch: int, state, global_losses,
