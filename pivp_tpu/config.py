@@ -167,6 +167,10 @@ class TrainConfig:
     steps_per_call: int = 1
     # Abort + save an emergency checkpoint if the loss goes non-finite.
     nan_guard: bool = True
+    # Ship image batches to the device as uint8 and dequantize on-device
+    # (4x less host->device traffic; lossless for the uint8-sourced
+    # robot-push frames, <=1/510 quantization for other sources).
+    u8_transfer: bool = True
 
     def model_config(self) -> ModelConfig:
         return ModelConfig(

@@ -139,7 +139,7 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     # Stage 1: lstm1 -> LN -> lstm2 -> LN -> enc1 conv 3x3 s2.
     s1, h = convlstm.conv_lstm(params["lstm1"], s1, enc0, fb)
     h1 = layers.layer_norm_flat(params["hidden1"], h, eps)
-    s2_, h = convlstm.conv_lstm(params["lstm2"], s2, h1, fb)
+    s2, h = convlstm.conv_lstm(params["lstm2"], s2, h1, fb)
     h2 = layers.layer_norm_flat(params["hidden2"], h, eps)
     enc1 = relu(layers.conv2d(params["enc1"], h2, stride=2))
 
@@ -210,7 +210,7 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     gen_state = layers.dense(params["state_pred"],
                              state_action.astype(jnp.float32))
 
-    new_states = (s1, s2_, s3, s4, s5, s6, s7)
+    new_states = (s1, s2, s3, s4, s5, s6, s7)
     encs = (enc0, enc1, enc2, enc3, enc4, enc5, enc6, enc7) if capture \
         else None
     return new_states, StepOutput(gen_image, gen_state, encs)
@@ -240,6 +240,11 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     """
     t_total, batch = images.shape[0], images.shape[1]
     dtype = cfg.dtype
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        # uint8 host->device transfer path: dequantize on device (the
+        # robot-push frames are uint8/255 at the source, so this is
+        # lossless and quarters the host->device traffic).
+        images = images.astype(jnp.float32) / 255.0
     images_c = images.astype(dtype)
 
     if dtype != jnp.float32:

@@ -120,6 +120,9 @@ def run_training(cfg: TrainConfig,
             stacked = tuple(
                 np.stack([b[i] for b in host_batches])
                 for i in range(3))
+            if cfg.u8_transfer:
+                stacked = (_quantize_images(stacked[0]), stacked[1],
+                           stacked[2])
             if mesh.size > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 stacked = jax.device_put(stacked, NamedSharding(
@@ -133,6 +136,8 @@ def run_training(cfg: TrainConfig,
             is_epoch_boundary = new_epoch
         else:
             batch = batcher.next()
+            if cfg.u8_transfer:
+                batch = (_quantize_images(batch[0]), batch[1], batch[2])
             batch = mesh_lib.shard_batch(mesh, batch)
             state, metrics = train_step(state, batch, jnp.float32(itr),
                                         step_key)
@@ -190,6 +195,9 @@ def run_training(cfg: TrainConfig,
             v_losses, v_psnrs = [], []
             for vbatch in dataset_lib.eval_batches(val_arrays,
                                                    cfg.batch_size):
+                if cfg.u8_transfer:
+                    vbatch = (_quantize_images(vbatch[0]), vbatch[1],
+                              vbatch[2])
                 vbatch = mesh_lib.shard_batch(mesh, vbatch)
                 out = eval_step(state.params, vbatch,
                                 jax.random.PRNGKey(0))
@@ -223,6 +231,12 @@ def run_training(cfg: TrainConfig,
         "last_metrics": last_metrics,
         "model_config": mcfg,
     }
+
+
+def _quantize_images(images: np.ndarray) -> np.ndarray:
+    """[0,1] float frames -> uint8 for the host->device transfer
+    (dequantized on device in rollout; see TrainConfig.u8_transfer)."""
+    return np.clip(images * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
 
 
 def _write_event(event_log_dir: str, run_name: str, record: Dict) -> None:

@@ -103,10 +103,9 @@ def convert_reference_npz(path: str, cfg, params_template: Any) -> Any:
         "hidden1": (*r1, lc[0]), "hidden2": (*r1, lc[1]),
         "hidden3": (*r2, lc[2]), "hidden4": (*r2, lc[3]),
         "hidden5": (*r3, lc[4]), "hidden6": (*r2, lc[5]),
-        "hidden7": (*r2, lc[6]),
+        # lstm7 runs at H/2 resolution (r1), unlike lstm3-6.
+        "hidden7": (*r1, lc[6]),
     }
-    # NOTE: hidden7 LN is at r1 (32x32) resolution, lstm7 outputs at H/2.
-    ln_shapes["hidden7"] = (*r1, lc[6])
 
     h8, w8 = r3
 

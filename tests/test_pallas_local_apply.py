@@ -1,8 +1,6 @@
 """Pallas local-kernel-apply op vs the XLA shifted-stack reference, in
 interpreter mode (runs on CPU; the same kernel compiles on TPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
