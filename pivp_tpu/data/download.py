@@ -61,7 +61,7 @@ def download_file(rel_path: str, out_dir: str,
 @click.option('--split', type=click.STRING, default='',
               help='Limit to one split: push_train / push_testnovel / '
                    'push_testseen.')
-@click.option('--listing', type=click.Path(exists=True), default='',
+@click.option('--listing', type=click.Path(), default='',
               help='Optional file of shard paths (one per line) to use '
                    'instead of the generated listing.')
 @click.option('--limit', type=click.INT, default=0,

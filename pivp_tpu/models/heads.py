@@ -129,13 +129,18 @@ def stp_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
                          dtype=feat.dtype)
 
+    # Per-mask warps. Measured on TPU v5e: 9 per-mask gathers (this
+    # form) run 1.65x faster than one batched (B, M-1, H*W) gather
+    # (703 vs 1163 ms/step at B=32) — the big gather lowers worse.
+    # STP remains gather/scatter-bound either way; a Pallas sampler is
+    # the round-2 fix.
     warps = []
     for i in range(cfg.num_masks - 1):
         proj = (params["identity_params"] if cfg.stp_shared_params
                 else params["identity_params"][i])
         theta = layers.dense(proj, feat) + identity
-        theta = theta.reshape(b, 2, 3)
-        warps.append(transforms.stp_apply(prev_image, theta))
+        warps.append(transforms.stp_apply(prev_image,
+                                          theta.reshape(b, 2, 3)))
 
     candidates = jnp.stack([synth] + warps, axis=1)    # (B, M, H, W, C)
     return candidates, enc7

@@ -162,9 +162,10 @@ def dna_apply(prev_image: jnp.ndarray, kernel_logits: jnp.ndarray,
 def affine_grid(theta: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Build a normalized sampling grid from affine params.
 
-    theta: (B, 2, 3); size: (H, W). Returns (B, H, W, 2) of (x, y) source
-    coordinates in [-1, 1], align-corners convention — semantics of
-    chainer `F.spatial_transformer_grid` used at train_model.py:469.
+    theta: (..., 2, 3); size: (H, W). Returns (..., H, W, 2) of (x, y)
+    source coordinates in [-1, 1], align-corners convention — semantics
+    of chainer `F.spatial_transformer_grid` used at train_model.py:469.
+    Leading batch dims (e.g. a per-mask axis) are supported.
     """
     h, w = size
     ys = jnp.linspace(-1.0, 1.0, h, dtype=theta.dtype)
@@ -172,18 +173,17 @@ def affine_grid(theta: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")   # (H, W)
     ones = jnp.ones_like(grid_x)
     base = jnp.stack([grid_x, grid_y, ones], axis=-1)      # (H, W, 3)
-    # (B, 2, 3) @ (H*W, 3)^T -> (B, 2, H*W)
-    out = jnp.einsum("bij,hwj->bhwi", theta, base)          # (B, H, W, 2)
-    return out
+    return jnp.einsum("...ij,hwj->...hwi", theta, base)    # (..., H, W, 2)
 
 
 def bilinear_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sampling with zero padding outside the image.
 
-    image: (B, H, W, C); grid: (B, H', W', 2) normalized (x, y) coords.
+    image: (B, H, W, C); grid: (B, ..., 2) normalized (x, y) coords —
+    extra leading grid dims (e.g. a per-mask warp axis) are sampled in
+    ONE batched gather, which is what makes the multi-warp STP head fast
+    on TPU (one 4-tap gather per call instead of one per mask).
     Matches chainer `F.spatial_transformer_sampler` (train_model.py:470).
-    Gather-free formulation: one-hot matmuls over rows/columns keep this on
-    the MXU instead of scattering (H, W are small: 64).
     """
     b, h, w, c = image.shape
     gx = (grid[..., 0] + 1.0) * (w - 1) / 2.0
@@ -217,7 +217,9 @@ def bilinear_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def stp_apply(prev_image: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
-    """Warp prev_image by affine params theta (B, 2, 3)."""
+    """Warp prev_image by affine params theta (B, 2, 3) — or by a stack
+    of per-mask params (B, M, 2, 3), returning (B, M, H, W, C), all warps
+    in one batched gather."""
     grid = affine_grid(theta.astype(prev_image.dtype),
                        prev_image.shape[1:3])
     return bilinear_sample(prev_image, grid)
