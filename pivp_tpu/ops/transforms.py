@@ -216,12 +216,55 @@ def bilinear_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def stp_apply(prev_image: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+def bilinear_sample_matmul(image: jnp.ndarray,
+                           grid: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free bilinear sampling: fold the interpolation weights into
+    one-hot row/column selector matrices and sample with one batched
+    matmul + a row-wise contraction — TPUs execute gathers poorly but
+    matmuls at full MXU rate.
+
+    For output pixel p with source (gy, gx): R[p, y] carries the y-axis
+    weights (nonzero only at floor(gy) and floor(gy)+1), C[p, w] the
+    x-axis weights; out[p] = sum_w C[p, w] * (R @ image)[p, w]. Out-of-
+    range taps get zero weight automatically (the equality never fires),
+    matching the zero-padding semantics of `bilinear_sample`.
+
+    image: (B, H, W, C); grid: (B, ..., 2) normalized coords.
+    """
+    b, h, w, c = image.shape
+    lead = grid.shape[1:-1]
+    gx = (grid[..., 0].reshape(b, -1) + 1.0) * (w - 1) / 2.0  # (B, P)
+    gy = (grid[..., 1].reshape(b, -1) + 1.0) * (h - 1) / 2.0
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx1 = (gx - x0)[..., None]
+    wy1 = (gy - y0)[..., None]
+
+    ys = jnp.arange(h, dtype=image.dtype)
+    xs = jnp.arange(w, dtype=image.dtype)
+    r = (jnp.where(ys == y0[..., None], 1.0 - wy1, 0.0)
+         + jnp.where(ys == y0[..., None] + 1.0, wy1, 0.0))  # (B, P, H)
+    col = (jnp.where(xs == x0[..., None], 1.0 - wx1, 0.0)
+           + jnp.where(xs == x0[..., None] + 1.0, wx1, 0.0))  # (B, P, W)
+
+    rows = jnp.einsum("bph,bhwc->bpwc", r.astype(image.dtype), image)
+    out = jnp.einsum("bpw,bpwc->bpc", col.astype(image.dtype), rows)
+    return out.reshape((b,) + lead + (c,))
+
+
+def stp_apply(prev_image: jnp.ndarray, theta: jnp.ndarray,
+              use_matmul: bool = True) -> jnp.ndarray:
     """Warp prev_image by affine params theta (B, 2, 3) — or by a stack
-    of per-mask params (B, M, 2, 3), returning (B, M, H, W, C), all warps
-    in one batched gather."""
+    of per-mask params (B, M, 2, 3), returning (B, M, H, W, C).
+
+    `use_matmul=True` uses the MXU one-hot formulation
+    (bilinear_sample_matmul); False uses the gather-based sampler.
+    """
     grid = affine_grid(theta.astype(prev_image.dtype),
                        prev_image.shape[1:3])
+    if use_matmul:
+        return bilinear_sample_matmul(prev_image, grid)
     return bilinear_sample(prev_image, grid)
 
 
