@@ -139,18 +139,22 @@ def fused_cdna_composite(prev_image: jnp.ndarray, synth: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def dna_apply(prev_image: jnp.ndarray, kernel_logits: jnp.ndarray,
-              relu_shift: float = RELU_SHIFT) -> jnp.ndarray:
+              relu_shift: float = RELU_SHIFT,
+              local_apply=None) -> jnp.ndarray:
     """Dynamic neural advection: per-pixel K*K kernels.
 
     prev_image: (B, H, W, C); kernel_logits: (B, H, W, K*K) (the enc7
     output). Normalizes over the K*K axis (reference train_model.py:408-410)
     and computes the per-pixel expectation over the shifted stack
-    (train_model.py:411-414).
+    (train_model.py:411-414). `local_apply` optionally overrides the tap
+    application (e.g. the Pallas kernel).
     """
     ksq = kernel_logits.shape[-1]
     ksize = int(round(ksq ** 0.5))
     kern = jax.nn.relu(kernel_logits - relu_shift) + relu_shift
     kern = kern / jnp.sum(kern, axis=-1, keepdims=True)
+    if local_apply is not None:
+        return local_apply(prev_image, kern.astype(prev_image.dtype))
     stack = shifted_stack(prev_image, ksize)            # (B, KK, H, W, C)
     return jnp.einsum("bkhwc,bhwk->bhwc", stack, kern.astype(stack.dtype))
 

@@ -50,6 +50,19 @@ def test_custom_vjp_matches_autodiff_of_reference():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dna_apply_with_pallas():
+    from pivp_tpu.ops import transforms
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    logits = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 25)) + 0.1
+    a = transforms.dna_apply(x, logits)
+    b = transforms.dna_apply(
+        x, logits, local_apply=lambda xx, ww: la.local_kernel_apply(
+            xx, ww, True))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_fused_cdna_with_pallas_apply():
     from pivp_tpu.ops import transforms
 
