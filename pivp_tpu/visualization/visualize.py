@@ -155,4 +155,9 @@ def visualize_model(checkpoint_path: str, model_type: str,
         written.append(viz.plot_activation(np.asarray(act), name))
     written.append(viz.plot_output(
         np.asarray(out["gen_images"])[:, 0], "prediction"))
+    # Filter-weight grids for the conv trunk (Visualizer.plot_filters
+    # capability of the reference, visualize.py:71-106).
+    for name in ("enc0", "enc1", "enc2"):
+        written.append(viz.plot_filters(
+            np.asarray(params[name]["w"]), name))
     return written

@@ -55,6 +55,27 @@ def test_epoch_batcher_without_replacement():
     assert sorted(ids.tolist()) == list(range(n))
 
 
+def test_epoch_batcher_batch_larger_than_dataset():
+    """batch_size > dataset size wraps into the next permutation with
+    every sequence used before repeats."""
+    n = 3
+    arrays = (np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1, 1)
+              * np.ones((n, 2, 1, 1, 1), np.float32),
+              np.zeros((n, 2, 5), np.float32),
+              np.zeros((n, 2, 5), np.float32))
+    b = dataset.EpochBatcher(arrays, batch_size=7, seed=0)
+    batch = b.next()
+    assert batch[0].shape == (2, 7, 1, 1, 1)
+    from collections import Counter
+
+    counts = Counter(batch[0][0, :, 0, 0, 0].tolist())
+    # 7 draws from 3 sequences = two full epochs + 1: every sequence
+    # appears at least twice, none more than three times.
+    assert set(counts) == {0.0, 1.0, 2.0}
+    assert all(2 <= v <= 3 for v in counts.values())
+    assert b.epoch >= 2
+
+
 def test_epoch_batcher_time_major():
     imgs, acts, stas = synthetic.generate_sequences(6, 4, 16, 16)
     b = dataset.EpochBatcher((imgs, acts, stas), batch_size=2)

@@ -81,9 +81,10 @@ def test_loss_curves_and_activations(trained_run, tmp_path):
     written = viz.visualize_model(
         os.path.join(save_dir, "training-final.npz"), "CDNA",
         imgs[0], acts[0], stas[0], out_dir, num_masks=3)
-    # enc0..enc7 activation grids + prediction strip.
-    assert len(written) == 9
+    # enc0..enc7 activation grids + prediction strip + 3 filter grids.
+    assert len(written) == 12
     assert all(os.path.exists(w) for w in written)
+    assert any("filters" in w for w in written)
 
 
 def test_visualizer_filters(tmp_path):
