@@ -192,7 +192,7 @@ def run_training(cfg: TrainConfig,
         # --- validation sweep (precedence bug fixed) ---------------------
         if (epoch % cfg.validation_interval == 0
                 and val_arrays[0].shape[0] > 0):
-            v_losses, v_psnrs = [], []
+            v_losses, v_psnrs, v_ssims, v_ppsnrs = [], [], [], []
             for vbatch in dataset_lib.eval_batches(val_arrays,
                                                    cfg.batch_size):
                 if cfg.u8_transfer:
@@ -203,11 +203,24 @@ def run_training(cfg: TrainConfig,
                                 jax.random.PRNGKey(0))
                 v_losses.append(float(out["loss"]))
                 v_psnrs.append(float(out["psnr_all"]))
+                # Parity-gate metrics (BASELINE: PSNR/SSIM fidelity).
+                v_ssims.append(float(out["ssim"]))
+                v_ppsnrs.append(float(out["psnr_per_image"]))
             global_losses_valid.append(logging_utils.epoch_stats(v_losses))
             global_psnr_all_valid.append(
                 logging_utils.epoch_stats(v_psnrs))
-            logger.info("[VALID] Epoch #: %d  loss: %.6f  psnr: %.3f",
-                        epoch, np.mean(v_losses), np.mean(v_psnrs))
+            logger.info(
+                "[VALID] Epoch #: %d  loss: %.6f  psnr: %.3f  "
+                "per-image-psnr: %.3f dB  ssim: %.4f",
+                epoch, np.mean(v_losses), np.mean(v_psnrs),
+                np.mean(v_ppsnrs), np.mean(v_ssims))
+            _write_event(cfg.event_log_dir, run_name, {
+                "epoch": epoch, "iteration": itr, "split": "validation",
+                "loss": logging_utils.epoch_stats(v_losses),
+                "psnr_all": logging_utils.epoch_stats(v_psnrs),
+                "psnr_per_image": float(np.mean(v_ppsnrs)),
+                "ssim": float(np.mean(v_ssims)),
+            })
 
         # --- periodic checkpoint ----------------------------------------
         if epoch % cfg.save_interval == 0:
