@@ -69,6 +69,18 @@ class ModelConfig:
     # reproduces that with stop_gradient; False (default) keeps the mixing
     # differentiable, which is strictly better for training.
     detach_sampled: bool = False
+    # The Chainer port softmaxes the compositing masks over reshape(-1,
+    # num_masks+1) of the NCHW tensor, scrambling pixels across mask
+    # channels (train_model.py:720-722) — a port bug vs the original TF's
+    # per-pixel softmax. True reproduces the scramble bit-exactly, for
+    # output parity against reference-trained checkpoints.
+    chainer_mask_scramble: bool = False
+    # The Chainer port's DNA head slices padded[k:size] instead of
+    # padded[k:k+size] and re-pads the bottom/right with zeros
+    # (train_model.py:395-405), dropping up to K-1 rows/cols of real
+    # content. True reproduces that; False (default) uses the true
+    # cross-correlation windows (the original TF behavior).
+    dna_border_zero: bool = False
 
     # Compute dtype for convolutions / matmuls. Params are always stored in
     # float32; bfloat16 compute keeps the MXU at full throughput.

@@ -90,11 +90,12 @@ def dna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
                                        padding=0))
     local = None
-    if cfg.use_pallas:
+    if cfg.use_pallas and not cfg.dna_border_zero:
         from pivp_tpu.ops.pallas import local_apply as pallas_apply
         local = pallas_apply.local_kernel_apply
     out = transforms.dna_apply(prev_image, enc7, cfg.relu_shift,
-                               local_apply=local)
+                               local_apply=local,
+                               border_zero=cfg.dna_border_zero)
     return out[:, None], enc7                          # (B, 1, H, W, C)
 
 

@@ -196,7 +196,8 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
             from pivp_tpu.ops.pallas import local_apply as pallas_apply
             local = pallas_apply.local_kernel_apply
         gen_image = transforms.fused_cdna_composite(
-            prev_image, synth, kerns, mask_logits, local_apply=local)
+            prev_image, synth, kerns, mask_logits, local_apply=local,
+            scramble=cfg.chainer_mask_scramble)
     else:
         # Candidate-stack formulation; zip-truncation keeps only the
         # first num_masks candidates.
@@ -204,7 +205,8 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
         candidates, enc7 = head_fn(params["head"], cfg, enc6, h5,
                                    prev_image)
         gen_image, _ = transforms.mask_composite(
-            prev_image, candidates[:, :cfg.num_masks], mask_logits)
+            prev_image, candidates[:, :cfg.num_masks], mask_logits,
+            scramble=cfg.chainer_mask_scramble)
 
     # State predictor fed back each step (train_model.py:730-731).
     gen_state = layers.dense(params["state_pred"],

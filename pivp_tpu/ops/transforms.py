@@ -34,23 +34,56 @@ from pivp_tpu.config import DNA_KERN_SIZE, RELU_SHIFT
 # Shifted stack
 # ---------------------------------------------------------------------------
 
-def shifted_stack(image: jnp.ndarray, ksize: int = DNA_KERN_SIZE
-                  ) -> jnp.ndarray:
+def shifted_stack(image: jnp.ndarray, ksize: int = DNA_KERN_SIZE,
+                  border_zero: bool = False) -> jnp.ndarray:
     """(B, H, W, C) -> (B, K*K, H, W, C) of zero-padded spatial shifts.
 
     Index k = dx*K + dy corresponds to the cross-correlation tap
     padded[h+dx, w+dy] with pad = K//2 (row-major over (dx, dy), matching
     the reference's kernel flattening order at train_model.py:326 and its
     DNA double loop at train_model.py:397-398).
+
+    `border_zero=True` reproduces the Chainer port's DNA slicing bug
+    (train_model.py:395-405): each shift takes padded[dx:H, dy:W] — ending
+    at the *unshifted* size — and re-pads the bottom/right tail with
+    zeros, so the last dx rows / dy cols of every shifted copy are zero.
     """
     pad = ksize // 2
     b, h, w, c = image.shape
     padded = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    shifts = [
-        jax.lax.slice(padded, (0, dx, dy, 0), (b, dx + h, dy + w, c))
-        for dx in range(ksize) for dy in range(ksize)
-    ]
+    if border_zero:
+        shifts = [
+            jnp.pad(jax.lax.slice(padded, (0, dx, dy, 0), (b, h, w, c)),
+                    ((0, 0), (0, dx), (0, dy), (0, 0)))
+            for dx in range(ksize) for dy in range(ksize)
+        ]
+    else:
+        shifts = [
+            jax.lax.slice(padded, (0, dx, dy, 0), (b, dx + h, dy + w, c))
+            for dx in range(ksize) for dy in range(ksize)
+        ]
     return jnp.stack(shifts, axis=1)
+
+
+def mask_softmax(mask_logits: jnp.ndarray,
+                 scramble: bool = False) -> jnp.ndarray:
+    """ReLU + softmax of the compositing mask logits (B, H, W, M+1).
+
+    `scramble=False` (default): per-pixel softmax over the M+1 mask
+    channels — the original TF semantics.
+    `scramble=True`: bit-exact reproduction of the Chainer port's
+    reshape(-1, M+1) softmax over the *NCHW* tensor
+    (train_model.py:720-722), which groups runs of M+1 consecutive
+    row-major NCHW elements instead of per-pixel channels.
+    """
+    if not scramble:
+        return jax.nn.softmax(jax.nn.relu(mask_logits), axis=-1)
+    b, h, w, m1 = mask_logits.shape
+    x = jax.nn.relu(mask_logits)
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(-1, m1)   # NCHW row-major
+    x = jax.nn.softmax(x, axis=-1)
+    x = x.reshape(b, m1, h, w)
+    return jnp.transpose(x, (0, 2, 3, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +127,8 @@ def cdna_apply(prev_image: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
 
 def fused_cdna_composite(prev_image: jnp.ndarray, synth: jnp.ndarray,
                          kernels: jnp.ndarray, mask_logits: jnp.ndarray,
-                         local_apply=None) -> jnp.ndarray:
+                         local_apply=None,
+                         scramble: bool = False) -> jnp.ndarray:
     """CDNA transform + mask compositing in one pass, never materializing
     the (B, M, H, W, C) per-mask transformed stack.
 
@@ -116,8 +150,10 @@ def fused_cdna_composite(prev_image: jnp.ndarray, synth: jnp.ndarray,
       kernels: (B, M, K*K) normalized; mask_logits: (B, H, W, M+1).
       local_apply: optional override for the per-pixel K*K tap application
         (e.g. the Pallas kernel); defaults to the shifted-stack einsum.
+      scramble: reproduce the Chainer port's mask-softmax scramble
+        (see mask_softmax).
     """
-    masks = jax.nn.softmax(jax.nn.relu(mask_logits), axis=-1)
+    masks = mask_softmax(mask_logits, scramble)
     m = kernels.shape[1]
     # Per-pixel combined kernel from the M-1 used CDNA kernels.
     w = jnp.einsum("bhwm,bmk->bhwk", masks[..., 2:].astype(kernels.dtype),
@@ -140,22 +176,24 @@ def fused_cdna_composite(prev_image: jnp.ndarray, synth: jnp.ndarray,
 
 def dna_apply(prev_image: jnp.ndarray, kernel_logits: jnp.ndarray,
               relu_shift: float = RELU_SHIFT,
-              local_apply=None) -> jnp.ndarray:
+              local_apply=None, border_zero: bool = False) -> jnp.ndarray:
     """Dynamic neural advection: per-pixel K*K kernels.
 
     prev_image: (B, H, W, C); kernel_logits: (B, H, W, K*K) (the enc7
     output). Normalizes over the K*K axis (reference train_model.py:408-410)
     and computes the per-pixel expectation over the shifted stack
     (train_model.py:411-414). `local_apply` optionally overrides the tap
-    application (e.g. the Pallas kernel).
+    application (e.g. the Pallas kernel). `border_zero=True` reproduces
+    the Chainer port's shift-window bug (see shifted_stack); it is
+    incompatible with `local_apply`, which computes true windows.
     """
     ksq = kernel_logits.shape[-1]
     ksize = int(round(ksq ** 0.5))
     kern = jax.nn.relu(kernel_logits - relu_shift) + relu_shift
     kern = kern / jnp.sum(kern, axis=-1, keepdims=True)
-    if local_apply is not None:
+    if local_apply is not None and not border_zero:
         return local_apply(prev_image, kern.astype(prev_image.dtype))
-    stack = shifted_stack(prev_image, ksize)            # (B, KK, H, W, C)
+    stack = shifted_stack(prev_image, ksize, border_zero=border_zero)
     return jnp.einsum("bkhwc,bhwk->bhwc", stack, kern.astype(stack.dtype))
 
 
@@ -277,7 +315,9 @@ def stp_apply(prev_image: jnp.ndarray, theta: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def mask_composite(prev_image: jnp.ndarray, transformed: jnp.ndarray,
-                   mask_logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   mask_logits: jnp.ndarray,
+                   scramble: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Softmax the masks per pixel and composite the candidates.
 
     prev_image: (B, H, W, C); transformed: (B, M, H, W, C);
@@ -287,11 +327,11 @@ def mask_composite(prev_image: jnp.ndarray, transformed: jnp.ndarray,
     Semantics follow the original NHWC TF model: relu, then per-pixel
     softmax over the M+1 mask channels, then
     output = prev*mask0 + sum_m transformed_m * mask_{m+1}
-    (reference train_model.py:717-728; note the Chainer port's
-    reshape(-1, M+1) on an NCHW tensor scrambles pixels across channels —
-    a port bug we do not reproduce).
+    (reference train_model.py:717-728; `scramble=True` reproduces the
+    Chainer port's reshape(-1, M+1) softmax on the NCHW tensor — see
+    mask_softmax — for bit-honest parity with reference checkpoints).
     """
-    masks = jax.nn.softmax(jax.nn.relu(mask_logits), axis=-1)
+    masks = mask_softmax(mask_logits, scramble)
     out = prev_image * masks[..., 0:1]
     out = out + jnp.einsum("bmhwc,bhwm->bhwc", transformed,
                            masks[..., 1:].astype(transformed.dtype))
