@@ -1,5 +1,6 @@
 .PHONY: data train predict visualization test lint clean bench download \
-	test_environment
+	test_environment requirements create_environment sync_data_to_s3 \
+	sync_data_from_s3
 
 # Build orchestration with the same public targets as the reference
 # Makefile (/root/reference/Makefile:27-79), TPU-native entry points.
@@ -30,6 +31,33 @@ visualization:
 ## Run the test suite
 test:
 	$(PYTHON_INTERPRETER) -m pytest tests/ -x -q
+
+## Install Python dependencies (reference Makefile:23-24). The TPU image
+## ships jax/flax/optax pre-installed; this validates they import.
+requirements: test_environment
+	$(PYTHON_INTERPRETER) -m pip install -e . --no-deps --quiet || true
+	$(PYTHON_INTERPRETER) -c "import jax, numpy, click, PIL; print('deps OK')"
+
+## Set up a python environment (reference Makefile:46-57). venv-based —
+## pyenv is not assumed on TPU hosts.
+create_environment:
+	$(PYTHON_INTERPRETER) -m venv .venv && \
+	echo ">>> venv created. Activate with: source .venv/bin/activate"
+
+BUCKET ?= your-bucket-for-syncing-data
+
+## Upload data to S3 (reference Makefile:38-40); uses gsutil when aws is
+## absent (the robot-push source bucket is GCS).
+sync_data_to_s3:
+	@if command -v aws >/dev/null; then aws s3 sync data/ s3://$(BUCKET)/data/; \
+	elif command -v gsutil >/dev/null; then gsutil -m rsync -r data/ gs://$(BUCKET)/data/; \
+	else echo "no aws/gsutil CLI available" && exit 1; fi
+
+## Download data from S3 (reference Makefile:42-44)
+sync_data_from_s3:
+	@if command -v aws >/dev/null; then aws s3 sync s3://$(BUCKET)/data/ data/; \
+	elif command -v gsutil >/dev/null; then gsutil -m rsync -r gs://$(BUCKET)/data/ data/; \
+	else echo "no aws/gsutil CLI available" && exit 1; fi
 
 ## Environment sanity check (python3 + jax available)
 test_environment:

@@ -128,9 +128,13 @@ class EpochBatcher:
             yield self.next()
 
 
-def eval_batches(arrays: Arrays, batch_size: int) -> Iterator[Arrays]:
-    """One pass over the validation set; final partial batch is padded by
-    repeating the last sequence (kept static-shape for XLA)."""
+def eval_batches(arrays: Arrays, batch_size: int
+                 ) -> Iterator[Tuple[Arrays, int]]:
+    """One pass over the validation set, yielding ((imgs, acts, stas),
+    n_valid). The final partial batch is padded by repeating the last
+    sequence (kept static-shape for XLA); `n_valid` is the number of
+    REAL rows — consumers must mask columns >= n_valid out of per-sample
+    metrics so padded duplicates never bias validation statistics."""
     images, actions, states = arrays
     n = images.shape[0]
     for start in range(0, n, batch_size):
@@ -139,4 +143,5 @@ def eval_batches(arrays: Arrays, batch_size: int) -> Iterator[Arrays]:
         if end - start < batch_size:
             pad = np.full((batch_size - (end - start),), end - 1, np.int64)
             sel = np.concatenate([sel, pad])
-        yield to_time_major(images[sel], actions[sel], states[sel])
+        yield (to_time_major(images[sel], actions[sel], states[sel]),
+               end - start)

@@ -33,7 +33,10 @@ logger = logging.getLogger(__name__)
 
 def get_data_info(data_dir: str, data_index: int):
     """Load one sequence's arrays + bitmap glob from map.csv
-    (predict_model.py:30-51)."""
+    (predict_model.py:30-51).
+
+    Returns (image [0,1] float, image_pred 0..255 float full-res,
+    image_bitmap_pred glob, action, state)."""
     rows = []
     with open(os.path.join(data_dir, "map.csv"), newline="") as f:
         rows = list(csv.reader(f))
@@ -49,7 +52,22 @@ def get_data_info(data_dir: str, data_index: int):
         return np.float32(np.load(os.path.join(data_dir, row[col])))
 
     image = load(2)
-    image_pred = load(6) if row[6] else image
+    if row[6]:
+        # Full-res pred array. The dtype decides the value range: the ETL
+        # writes uint8 bitmaps (0..255) while model arrays are float
+        # [0, 1] — dispatching on dtype (not on observed max) keeps a
+        # genuinely dark uint8 sequence from being misread as floats.
+        raw = np.load(os.path.join(data_dir, row[6]))
+        if np.issubdtype(raw.dtype, np.integer):
+            image_pred = np.float32(raw)
+        elif raw.max() > 1.5:
+            # Float array already in 0..255 (e.g. reference-era ETL
+            # saved the raw decode as float).
+            image_pred = np.float32(raw)
+        else:
+            image_pred = np.float32(raw) * 255.0
+    else:
+        image_pred = image * 255.0
     image_bitmap_pred = row[5]
     action = load(3)
     state = load(4)
@@ -248,11 +266,9 @@ def predict_and_render(model_dir: str, model_name: str, data_index: int,
         ckpt, model_type, num_masks, context_frames, use_state,
         schedsamp_k, image_height, image_width, seq_len)
 
-    # Full-res (T, H0, W0, C) uint8-ish -> model resolution in [0, 1].
-    needs_norm = image_pred.max() > 1.5
-    frames = resize_frames(
-        image_pred if needs_norm else image_pred * 255.0,
-        image_height, image_width)
+    # Full-res (T, H0, W0, C) in 0..255 (get_data_info contract) -> model
+    # resolution in [0, 1].
+    frames = resize_frames(image_pred, image_height, image_width)
 
     action = action[:, 0] if action.ndim == 3 else action
     state = state[:, 0] if state.ndim == 3 else state
@@ -273,7 +289,7 @@ def predict_and_render(model_dir: str, model_name: str, data_index: int,
             img = Image.open(p).convert("RGB")
             gt_imgs.append(img.resize((frame_w, frame_h), Image.LANCZOS))
     else:
-        src = image_pred if needs_norm else image_pred * 255.0
+        src = image_pred
         for i in range(min(time_step, src.shape[0])):
             img = Image.fromarray(np.uint8(np.clip(src[i], 0, 255)))
             gt_imgs.append(img.resize((frame_w, frame_h), Image.LANCZOS))

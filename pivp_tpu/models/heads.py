@@ -135,16 +135,26 @@ def stp_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
                          dtype=feat.dtype)
 
-    # Per-mask warps. Measured on TPU v5e: 9 per-mask gathers (this
-    # form) run 1.65x faster than one batched (B, M-1, H*W) gather
-    # (703 vs 1163 ms/step at B=32) — the big gather lowers worse.
-    # STP remains gather/scatter-bound either way; a Pallas sampler is
-    # the round-2 fix.
+    if cfg.stp_shared_params:
+        # One shared Linear(6) means every mask's theta — and therefore
+        # every warp — is IDENTICAL (reference quirk, train_model.py:
+        # 465-467). Compute the warp once and broadcast: exact by
+        # construction, and removes (num_masks-2)/(num_masks-1) of the
+        # head's sampling work (~90% at the default num_masks=10).
+        theta = layers.dense(params["identity_params"], feat) + identity
+        warp = transforms.stp_apply(prev_image, theta.reshape(b, 2, 3))
+        warps = jnp.broadcast_to(warp[:, None],
+                                 (b, cfg.num_masks - 1) + warp.shape[1:])
+        candidates = jnp.concatenate([synth[:, None], warps], axis=1)
+        return candidates, enc7
+
+    # Per-mask warps with distinct projections. Measured on TPU v5e: 9
+    # per-mask gathers (this form) run 1.65x faster than one batched
+    # (B, M-1, H*W) gather (703 vs 1163 ms/step at B=32) — the big
+    # gather lowers worse.
     warps = []
     for i in range(cfg.num_masks - 1):
-        proj = (params["identity_params"] if cfg.stp_shared_params
-                else params["identity_params"][i])
-        theta = layers.dense(proj, feat) + identity
+        theta = layers.dense(params["identity_params"][i], feat) + identity
         warps.append(transforms.stp_apply(prev_image,
                                           theta.reshape(b, 2, 3)))
 

@@ -336,6 +336,14 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
             true_imgs, pred_imgs).mean(),
         "ssim": jax.vmap(metrics.structural_similarity)(
             true_imgs, pred_imgs).mean(),
+        # Per-(frame, sequence) matrices (T-ctx, B): the validation sweep
+        # aggregates these exactly over the real (non-padded) sequences,
+        # making validation metrics invariant to batch size.
+        "recon_mse_tb": jax.vmap(metrics.per_image_mse)(true_imgs,
+                                                        pred_imgs),
+        "state_mse_tb": jax.vmap(metrics.per_image_mse)(true_states,
+                                                        pred_states),
+        "ssim_tb": jax.vmap(metrics.ssim_per_image)(true_imgs, pred_imgs),
     }
     if capture:
         # Last-timestep activations, mirroring Model.conv_res

@@ -24,22 +24,24 @@ def peak_signal_to_noise_ratio(true: jnp.ndarray,
     return 10.0 * jnp.log(1.0 / mse) / jnp.log(10.0)
 
 
+def per_image_mse(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE (B,) — the building block for batch-size-invariant
+    validation aggregation (padded rows can be masked exactly)."""
+    axes = tuple(range(1, true.ndim))
+    return jnp.mean(jnp.square(true.astype(jnp.float32) -
+                               pred.astype(jnp.float32)), axis=axes)
+
+
 def psnr_per_image(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     """Corrected per-image PSNR, averaged over the batch (the metric the
     reference acknowledges it should have computed)."""
-    axes = tuple(range(1, true.ndim))
-    mse = jnp.mean(jnp.square(true.astype(jnp.float32) -
-                              pred.astype(jnp.float32)), axis=axes)
+    mse = per_image_mse(true, pred)
     return jnp.mean(10.0 * jnp.log(1.0 / mse) / jnp.log(10.0))
 
 
-def structural_similarity(x: jnp.ndarray, y: jnp.ndarray,
-                          max_val: float = 1.0) -> jnp.ndarray:
-    """Global (non-windowed) SSIM over each image, averaged over the batch.
-
-    Used by the parity/bench harness (BASELINE.json gates on PSNR/SSIM);
-    the reference itself has no SSIM implementation.
-    """
+def ssim_per_image(x: jnp.ndarray, y: jnp.ndarray,
+                   max_val: float = 1.0) -> jnp.ndarray:
+    """Global (non-windowed) SSIM per sample, shape (B,)."""
     axes = tuple(range(1, x.ndim))
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
@@ -52,6 +54,15 @@ def structural_similarity(x: jnp.ndarray, y: jnp.ndarray,
                    axis=axes)
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    ssim = ((2 * mu_x * mu_y + c1) * (2 * cov + c2) /
+    return ((2 * mu_x * mu_y + c1) * (2 * cov + c2) /
             ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)))
-    return jnp.mean(ssim)
+
+
+def structural_similarity(x: jnp.ndarray, y: jnp.ndarray,
+                          max_val: float = 1.0) -> jnp.ndarray:
+    """Global (non-windowed) SSIM over each image, averaged over the batch.
+
+    Used by the parity/bench harness (BASELINE.json gates on PSNR/SSIM);
+    the reference itself has no SSIM implementation.
+    """
+    return jnp.mean(ssim_per_image(x, y, max_val))

@@ -192,34 +192,25 @@ def run_training(cfg: TrainConfig,
         # --- validation sweep (precedence bug fixed) ---------------------
         if (epoch % cfg.validation_interval == 0
                 and val_arrays[0].shape[0] > 0):
-            v_losses, v_psnrs, v_ssims, v_ppsnrs = [], [], [], []
-            for vbatch in dataset_lib.eval_batches(val_arrays,
-                                                   cfg.batch_size):
-                if cfg.u8_transfer:
-                    vbatch = (_quantize_images(vbatch[0]), vbatch[1],
-                              vbatch[2])
-                vbatch = mesh_lib.shard_batch(mesh, vbatch)
-                out = eval_step(state.params, vbatch,
-                                jax.random.PRNGKey(0))
-                v_losses.append(float(out["loss"]))
-                v_psnrs.append(float(out["psnr_all"]))
-                # Parity-gate metrics (BASELINE: PSNR/SSIM fidelity).
-                v_ssims.append(float(out["ssim"]))
-                v_ppsnrs.append(float(out["psnr_per_image"]))
-            global_losses_valid.append(logging_utils.epoch_stats(v_losses))
+            v = run_validation(eval_step, state.params, val_arrays,
+                               cfg.batch_size, mcfg.state_cost_weight,
+                               mesh, u8_transfer=cfg.u8_transfer)
+            global_losses_valid.append(
+                logging_utils.epoch_stats([v["loss"]]))
             global_psnr_all_valid.append(
-                logging_utils.epoch_stats(v_psnrs))
+                logging_utils.epoch_stats([v["psnr_all"]]))
             logger.info(
                 "[VALID] Epoch #: %d  loss: %.6f  psnr: %.3f  "
-                "per-image-psnr: %.3f dB  ssim: %.4f",
-                epoch, np.mean(v_losses), np.mean(v_psnrs),
-                np.mean(v_ppsnrs), np.mean(v_ssims))
+                "per-image-psnr: %.3f dB  ssim: %.4f  (n=%d)",
+                epoch, v["loss"], v["psnr_all"], v["psnr_per_image"],
+                v["ssim"], v["n_sequences"])
             _write_event(cfg.event_log_dir, run_name, {
                 "epoch": epoch, "iteration": itr, "split": "validation",
-                "loss": logging_utils.epoch_stats(v_losses),
-                "psnr_all": logging_utils.epoch_stats(v_psnrs),
-                "psnr_per_image": float(np.mean(v_ppsnrs)),
-                "ssim": float(np.mean(v_ssims)),
+                "loss": logging_utils.epoch_stats([v["loss"]]),
+                "psnr_all": logging_utils.epoch_stats([v["psnr_all"]]),
+                "psnr_per_image": v["psnr_per_image"],
+                "ssim": v["ssim"],
+                "n_sequences": v["n_sequences"],
             })
 
         # --- periodic checkpoint ----------------------------------------
@@ -243,6 +234,46 @@ def run_training(cfg: TrainConfig,
         "global_psnr_all": np.asarray(global_psnr_all),
         "last_metrics": last_metrics,
         "model_config": mcfg,
+    }
+
+
+def run_validation(eval_step, params, val_arrays, batch_size: int,
+                   state_cost_weight: float, mesh=None,
+                   u8_transfer: bool = False) -> Dict[str, float]:
+    """One exact validation sweep.
+
+    Aggregates per-(frame, sequence) metric matrices from the eval step,
+    masking the padded duplicate rows of the final partial batch, so every
+    metric is invariant to batch_size (a per-batch-mean average would
+    count padding at full weight — with 14 sequences and batch 32 that's
+    18 phantom copies of one sequence).
+    """
+    recon_cols, state_cols, ssim_cols = [], [], []
+    for vbatch, n_valid in dataset_lib.eval_batches(val_arrays,
+                                                    batch_size):
+        if u8_transfer:
+            vbatch = (_quantize_images(vbatch[0]), vbatch[1], vbatch[2])
+        if mesh is not None:
+            vbatch = mesh_lib.shard_batch(mesh, vbatch)
+        out = eval_step(params, vbatch, jax.random.PRNGKey(0))
+        recon_cols.append(np.asarray(out["recon_mse_tb"])[:, :n_valid])
+        state_cols.append(np.asarray(out["state_mse_tb"])[:, :n_valid])
+        ssim_cols.append(np.asarray(out["ssim_tb"])[:, :n_valid])
+    recon = np.concatenate(recon_cols, axis=1)       # (T-ctx, N_val)
+    state_mse = np.concatenate(state_cols, axis=1)
+    ssim_tb = np.concatenate(ssim_cols, axis=1)
+    num_pred = recon.shape[0]
+    frame_mse = recon.mean(axis=1)
+    loss = float((frame_mse.sum()
+                  + state_cost_weight * state_mse.mean(axis=1).sum())
+                 / num_pred)
+    return {
+        "loss": loss,
+        # Reference batch-PSNR convention, over the full val set.
+        "psnr_all": float(np.sum(10.0 * np.log10(1.0 / frame_mse))),
+        "psnr_per_image": float(np.mean(10.0 * np.log10(1.0 / recon))),
+        "ssim": float(ssim_tb.mean()),
+        "n_sequences": int(recon.shape[1]),
     }
 
 

@@ -59,14 +59,23 @@ from pivp_tpu.utils import logging_utils
 @click.option('--debug', type=click.INT, default=0, help='Debug mode.')
 # --- TPU-native extras ---------------------------------------------------
 @click.option('--seed', type=click.INT, default=0, help='PRNG seed.')
-@click.option('--compute_dtype', type=click.STRING, default='float32',
-              help='float32 or bfloat16 compute.')
+@click.option('--compute_dtype', type=click.STRING, default='auto',
+              help='auto (bfloat16 on TPU, float32 elsewhere), float32, '
+                   'or bfloat16. Pass float32 for reference-exact '
+                   'numerics.')
 @click.option('--num_devices', type=click.INT, default=0,
               help='Data-parallel devices (0 = all visible).')
 @click.option('--remat', type=click.INT, default=0,
               help='Rematerialize the scan step (memory for FLOPs).')
-@click.option('--use_pallas', type=click.INT, default=0,
-              help='Use the Pallas local-kernel-apply op (TPU).')
+@click.option('--use_pallas', type=click.INT, default=-1,
+              help='Pallas local-kernel-apply op: -1 auto (on for TPU '
+                   'backends), 0 off, 1 on.')
+@click.option('--fused_cdna', type=click.INT, default=1,
+              help='Fuse the CDNA transform + mask composite into one '
+                   'per-pixel kernel (algebraically exact).')
+@click.option('--u8_transfer', type=click.INT, default=1,
+              help='Ship frames to the device as uint8, dequantize '
+                   'on-device (4x less host->device traffic).')
 @click.option('--steps_per_call', type=click.INT, default=1,
               help='Optimizer steps per device dispatch (amortizes host '
                    'latency; 1 = one dispatch per iteration).')
@@ -79,8 +88,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
-         num_devices, remat, use_pallas, steps_per_call, synthetic,
-         profile_dir):
+         num_devices, remat, use_pallas, fused_cdna, u8_transfer,
+         steps_per_call, synthetic, profile_dir):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -106,14 +115,19 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         validation_interval=validation_interval,
         save_interval=save_interval, debug=bool(debug), seed=seed,
         compute_dtype=compute_dtype, num_devices=num_devices,
-        remat=bool(remat), use_pallas=bool(use_pallas),
+        remat=bool(remat), use_pallas=use_pallas,
+        fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call,
     )
 
+    mcfg = cfg.model_config()
     logger.info('Training the model')
     logger.info('Model: %s', model_type)
     logger.info('# Minibatch-size: %s', batch_size)
     logger.info('# Num iterations: %s', num_iterations)
+    logger.info('Compute dtype: %s  pallas: %s  fused_cdna: %s  '
+                'u8_transfer: %s', mcfg.compute_dtype, mcfg.use_pallas,
+                mcfg.fused_cdna, cfg.u8_transfer)
 
     arrays = None
     if synthetic:

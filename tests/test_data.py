@@ -89,4 +89,9 @@ def test_eval_batches_pads_final():
     imgs, acts, stas = synthetic.generate_sequences(5, 3, 16, 16)
     batches = list(dataset.eval_batches((imgs, acts, stas), batch_size=2))
     assert len(batches) == 3
-    assert all(b[0].shape[1] == 2 for b in batches)
+    assert all(b[0].shape[1] == 2 for (b, _) in batches)
+    assert [n for (_, n) in batches] == [2, 2, 1]
+    # The padded row duplicates the last real sequence.
+    last_imgs, n = batches[-1]
+    assert n == 1
+    assert (last_imgs[0][:, 0] == last_imgs[0][:, 1]).all()

@@ -134,3 +134,27 @@ def test_run_training_loop(tmp_path):
     assert "training-global_psnr_all_valid.npy" in files
     curves = np.load(os.path.join(save_dir, "training-global_losses.npy"))
     assert curves.shape[1] == 5  # [mean, std, min, max, median]
+
+
+def test_validation_invariant_to_batch_size():
+    """Padded duplicate rows in the final partial eval batch must not bias
+    validation metrics: the exact sweep aggregation gives identical
+    numbers for any batch size (regression for the per-batch-mean bias)."""
+    from pivp_tpu.training import loop
+
+    cfg = tiny_cfg()
+    opt = ts_lib.make_optimizer(1e-3)
+    state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    eval_step = ts_lib.make_eval_step(cfg, None)
+    val_arrays = synthetic.generate_sequences(7, cfg.sequence_length,
+                                              cfg.image_height,
+                                              cfg.image_width, seed=5)
+
+    v3 = loop.run_validation(eval_step, state.params, val_arrays,
+                             batch_size=3, state_cost_weight=1e-4)
+    v7 = loop.run_validation(eval_step, state.params, val_arrays,
+                             batch_size=7, state_cost_weight=1e-4)
+    assert v3["n_sequences"] == v7["n_sequences"] == 7
+    for key in ("loss", "psnr_all", "psnr_per_image", "ssim"):
+        assert abs(v3[key] - v7[key]) < 1e-4 * max(1.0, abs(v7[key])), \
+            (key, v3[key], v7[key])
