@@ -55,14 +55,21 @@ def main() -> None:
     from pivp_tpu.parallel import mesh as mesh_lib
     from pivp_tpu.parallel import train_step as ts_lib
 
-    # Fastest honest training config: bf16 compute (params f32) + the
-    # Pallas local-kernel-apply op. Measured A/B on TPU v5e (2026-08-16,
-    # host-fetch barriers): f32 XLA 111.6 ms/step, f32+pallas 96.5,
-    # bf16 XLA 89.7, bf16+pallas 81.1 — losses match f32 to 3 sig figs.
+    # Fastest honest training config — reproducible from public CLI flags:
+    #   train_cli --compute_dtype bfloat16 --use_pallas 1 --scan_unroll 9
+    #             --steps_per_call 25
+    # Measured A/B ladder on TPU v5e (2026-08-16, host-fetch barriers):
+    # f32 XLA 111.6 ms/step -> bf16+pallas 81.1 (round 1) -> +remat 63.2
+    # -> +full scan unroll (remat off) 43.7. The full unroll removes the
+    # lax.scan while-loop, so the backward pass reads forward activations
+    # as SSA values instead of stacked dynamic-update-slice buffers —
+    # the trace showed that stacking cost 22.6 ms/step, as much as every
+    # convolution combined (see BENCHMARKS.md "Trace attribution").
     cfg = ModelConfig(model_type="CDNA", num_masks=10,
                       sequence_length=SEQ, context_frames=CONTEXT,
                       scheduled_sampling_k=900.0,
-                      compute_dtype="bfloat16", use_pallas=True)
+                      compute_dtype="bfloat16", use_pallas=True,
+                      scan_unroll=SEQ - 1)
     mesh = mesh_lib.make_mesh()
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
@@ -100,14 +107,28 @@ def main() -> None:
     frames_per_sec = steps_per_sec * BATCH * (SEQ - CONTEXT)
     n_chips = len(jax.devices())
 
+    from pivp_tpu.utils import flops as flops_lib
+
+    step_flops = flops_lib.train_step_flops(cfg, BATCH)
+    achieved_tflops = step_flops * steps_per_sec / n_chips / 1e12
+    V5E_BF16_PEAK_TFLOPS = 197.0
+
     result = {
         "metric": "CDNA b32 T10 64x64 train throughput "
                   "(predicted frames/s/chip)",
         "value": round(frames_per_sec / n_chips, 2),
         "unit": "frames/s/chip",
+        # NOTE: the CPU baseline below is a 1-core XLA-CPU host; the
+        # meaningful headline numbers are ms_per_step / frames/s/chip /
+        # achieved_tflops (hand-counted conv FLOPs, utils/flops.py —
+        # XLA cost_analysis under-reports convs on this backend).
         "vs_baseline": round(
             (frames_per_sec / n_chips) / CPU_BASELINE_FRAMES_PER_SEC, 2),
         "steps_per_sec": round(steps_per_sec, 3),
+        "ms_per_step": round(1000.0 / steps_per_sec, 2),
+        "achieved_tflops_per_chip": round(achieved_tflops, 1),
+        "mfu_vs_v5e_bf16_peak": round(
+            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 3),
         "devices": n_chips,
         "final_loss": final_loss,
     }

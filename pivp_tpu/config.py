@@ -113,6 +113,10 @@ class ModelConfig:
     # State-cost weight (train_model.py:751).
     state_cost_weight: float = 1e-4
 
+    # Unroll factor for the time scan (lax.scan unroll=): >1 trades
+    # compile time for less loop overhead and cross-step fusion.
+    scan_unroll: int = 1
+
     # Trunk channel plan (train_model.py:500-515).
     enc_channels: Tuple[int, ...] = (32, 32, 64, 64, 128, 96, 64)
     lstm_channels: Tuple[int, ...] = (32, 32, 64, 64, 128, 64, 32)
@@ -195,6 +199,11 @@ class TrainConfig:
     # latency; per-iteration metrics are still recorded). 1 = reference
     # behavior of one dispatch per iteration.
     steps_per_call: int = 1
+    # Time-scan unroll: 0 = auto (FULL unroll on TPU — measured 81 -> 44
+    # ms/step at the bench config because the scan's residual stacking
+    # disappears; 1 elsewhere, where compile time dominates). Any other
+    # value is passed to lax.scan verbatim.
+    scan_unroll: int = 0
     # Abort + save an emergency checkpoint if the loss goes non-finite.
     nan_guard: bool = True
     # Ship image batches to the device as uint8 and dequantize on-device
@@ -209,6 +218,9 @@ class TrainConfig:
         pallas = self.use_pallas
         if pallas < 0:        # -1 = auto (True/False/0/1 pass through)
             pallas = tpu_backend()
+        unroll = self.scan_unroll
+        if unroll == 0:       # auto
+            unroll = (self.sequence_length - 1) if tpu_backend() else 1
         return ModelConfig(
             model_type=self.model_type,
             num_masks=self.num_masks,
@@ -221,4 +233,5 @@ class TrainConfig:
             compute_dtype=dtype,
             use_pallas=bool(pallas),
             fused_cdna=self.fused_cdna,
+            scan_unroll=unroll,
         )

@@ -301,7 +301,8 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
         states[0].astype(jnp.float32),
     )
     xs = (ts, images_c[:-1], actions[:-1].astype(jnp.float32), step_keys)
-    _, outs = jax.lax.scan(scan_step, init_carry, xs)
+    _, outs = jax.lax.scan(scan_step, init_carry, xs,
+                           unroll=cfg.scan_unroll)
 
     gen_images = outs.gen_image          # (T-1, B, H, W, C)
     gen_states = outs.gen_state          # (T-1, B, S)

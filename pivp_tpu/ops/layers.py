@@ -140,8 +140,13 @@ def layer_norm_flat(params: Params, x: jnp.ndarray,
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
+    # E[x] and E[x^2] have no sequential dependency, so XLA computes both
+    # in ONE read pass (sibling multi-output reduce fusion); the two-pass
+    # var = E[(x-mean)^2] form costs an extra full read of the activation
+    # per LN — measured ~1/3 of LN time on the v5e trunk.
     mean = jnp.mean(xf, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     normed = (xf - mean) * lax.rsqrt(var + eps)
     out = normed * params["scale"] + params["bias"]
     return out.astype(orig_dtype)

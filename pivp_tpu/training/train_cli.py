@@ -79,6 +79,9 @@ from pivp_tpu.utils import logging_utils
 @click.option('--steps_per_call', type=click.INT, default=1,
               help='Optimizer steps per device dispatch (amortizes host '
                    'latency; 1 = one dispatch per iteration).')
+@click.option('--scan_unroll', type=click.INT, default=0,
+              help='Time-scan unroll: 0 auto (full on TPU), 1 rolled, '
+                   'N partial.')
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
@@ -89,7 +92,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
          num_devices, remat, use_pallas, fused_cdna, u8_transfer,
-         steps_per_call, synthetic, profile_dir):
+         steps_per_call, scan_unroll, synthetic, profile_dir):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -117,7 +120,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         compute_dtype=compute_dtype, num_devices=num_devices,
         remat=bool(remat), use_pallas=use_pallas,
         fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
-        steps_per_call=steps_per_call,
+        steps_per_call=steps_per_call, scan_unroll=scan_unroll,
     )
 
     mcfg = cfg.model_config()
