@@ -206,6 +206,11 @@ class TrainConfig:
     scan_unroll: int = 0
     # Abort + save an emergency checkpoint if the loss goes non-finite.
     nan_guard: bool = True
+    # Checkpoint backend: 'npz' keeps the reference artifact contract
+    # (train_model.py:1023-1041); 'orbax' additionally writes step-managed
+    # atomic Orbax checkpoints of the full TrainState and auto-resumes
+    # from the latest one when the run directory already has any.
+    checkpointer: str = "npz"
     # Ship image batches to the device as uint8 and dequantize on-device
     # (4x less host->device traffic; lossless for the uint8-sourced
     # robot-push frames, <=1/510 quantization for other sources).

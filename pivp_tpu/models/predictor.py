@@ -348,8 +348,11 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     }
     if capture:
         # Last-timestep activations, mirroring Model.conv_res
-        # (train_model.py:734).
+        # (train_model.py:734, which keeps the final loop iteration's
+        # encs), plus the full per-timestep stacks (T-1, B, ...) for
+        # multi-frame activation visualization.
         result["conv_res"] = tuple(e[-1] for e in outs.encs)
+        result["conv_res_all"] = outs.encs
     return result
 
 

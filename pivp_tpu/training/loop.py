@@ -38,6 +38,7 @@ from pivp_tpu.parallel import mesh as mesh_lib
 from pivp_tpu.parallel import train_step as ts_lib
 from pivp_tpu.utils import checkpoint as ckpt_lib
 from pivp_tpu.utils import logging_utils
+from pivp_tpu.utils import profiling
 
 logger = logging.getLogger(__name__)
 
@@ -90,6 +91,21 @@ def run_training(cfg: TrainConfig,
             time.strftime("%Y%m%d-%H%M%S"), cfg.model_type, cfg.batch_size)
     save_dir = None
 
+    itr = 0
+    ckpt_manager = None
+    if cfg.checkpointer == "orbax":
+        from pivp_tpu.utils import orbax_ckpt
+
+        save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
+        ckpt_manager = orbax_ckpt.make_manager(
+            os.path.join(save_dir, "orbax"))
+        latest = ckpt_manager.latest_step()
+        if latest is not None:
+            state = orbax_ckpt.restore(ckpt_manager, state)
+            itr = int(state.step)
+            logger.info("Resumed from orbax checkpoint step %d in %s",
+                        latest, save_dir)
+
     batcher = dataset_lib.EpochBatcher(train_arrays, cfg.batch_size,
                                        seed=cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -103,7 +119,10 @@ def run_training(cfg: TrainConfig,
 
     epoch_start = time.time()
     last_metrics = None
-    itr = 0
+    # Device-accurate per-dispatch timing in debug mode (host-fetch
+    # barrier; block_until_ready is unreliable on remote-attached
+    # runtimes — see utils/profiling.StepTimer).
+    step_timer = profiling.StepTimer() if cfg.debug else None
     while itr < cfg.num_iterations:
         rng, step_key = jax.random.split(rng)
         if cfg.steps_per_call > 1:
@@ -139,8 +158,12 @@ def run_training(cfg: TrainConfig,
             if cfg.u8_transfer:
                 batch = (_quantize_images(batch[0]), batch[1], batch[2])
             batch = mesh_lib.shard_batch(mesh, batch)
+            if step_timer is not None:
+                step_timer.start()
             state, metrics = train_step(state, batch, jnp.float32(itr),
                                         step_key)
+            if step_timer is not None:
+                step_timer.stop(barrier_value=metrics["loss"])
             last_metrics = metrics
             # Device scalars appended lazily; forced at epoch boundaries
             # only, so steps keep dispatching asynchronously.
@@ -167,7 +190,8 @@ def run_training(cfg: TrainConfig,
             save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
             _save_checkpoint(save_dir, f"nan-epoch{epoch}", state,
                              global_losses, global_psnr_all,
-                             global_losses_valid, global_psnr_all_valid)
+                             global_losses_valid, global_psnr_all_valid,
+                             manager=ckpt_manager)
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}; emergency "
                 f"checkpoint saved to {save_dir}")
@@ -176,6 +200,9 @@ def run_training(cfg: TrainConfig,
         logger.info("[TRAIN] Epoch #: %d (%.2fs)  loss: %.6f  psnr: %.3f",
                     epoch, time.time() - epoch_start, losses_np.mean(),
                     psnr_np.mean())
+        if step_timer is not None and step_timer.times:
+            logger.info("[TIMER] per-dispatch %s", step_timer.summary())
+            step_timer.times.clear()
         _write_event(cfg.event_log_dir, run_name, {
             "epoch": epoch, "iteration": itr,
             "train_loss": logging_utils.epoch_stats(list(losses_np)),
@@ -218,13 +245,14 @@ def run_training(cfg: TrainConfig,
             save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
             _save_checkpoint(save_dir, epoch, state, global_losses,
                              global_psnr_all, global_losses_valid,
-                             global_psnr_all_valid)
+                             global_psnr_all_valid, manager=ckpt_manager)
 
     # Final checkpoint.
     save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
     _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
                      global_psnr_all, global_losses_valid,
-                     global_psnr_all_valid, final=True)
+                     global_psnr_all_valid, final=True,
+                     manager=ckpt_manager)
 
     return {
         "state": state,
@@ -300,12 +328,18 @@ def _write_event(event_log_dir: str, run_name: str, record: Dict) -> None:
 
 def _save_checkpoint(save_dir: str, epoch: int, state, global_losses,
                      global_psnr_all, global_losses_valid,
-                     global_psnr_all_valid, final: bool = False) -> None:
+                     global_psnr_all_valid, final: bool = False,
+                     manager=None) -> None:
     tag = "final" if final else str(epoch)
     ckpt_lib.save_npz(os.path.join(save_dir, f"training-{tag}"),
                       jax.device_get(state.params))
     ckpt_lib.save_npz(os.path.join(save_dir, f"state-{tag}"),
                       jax.device_get(state.opt_state))
+    if manager is not None:
+        from pivp_tpu.utils import orbax_ckpt
+
+        orbax_ckpt.save(manager, int(state.step),
+                        jax.device_get(state))
     np.save(os.path.join(save_dir, "training-global_losses"),
             np.asarray(global_losses))
     np.save(os.path.join(save_dir, "training-global_psnr_all"),

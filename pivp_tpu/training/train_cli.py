@@ -85,14 +85,23 @@ from pivp_tpu.utils import logging_utils
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
-              help='If set, capture a jax.profiler trace of a few steps.')
+              help='If set, capture a jax.profiler trace of a few steps '
+                   '(summarize with tools/trace_top_ops.py).')
+@click.option('--checkpointer', type=click.Choice(['npz', 'orbax']),
+              default='npz',
+              help='npz = reference artifact contract; orbax adds atomic '
+                   'step-managed TrainState checkpoints + auto-resume.')
+@click.option('--run_name', type=click.STRING, default='',
+              help='Run directory name (default: timestamped). Reuse a '
+                   'name with --checkpointer orbax to resume that run.')
 def main(data_dir, output_dir, event_log_dir, num_iterations,
          pretrained_model, pretrained_state, sequence_length,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
          num_devices, remat, use_pallas, fused_cdna, u8_transfer,
-         steps_per_call, scan_unroll, synthetic, profile_dir):
+         steps_per_call, scan_unroll, synthetic, profile_dir,
+         checkpointer, run_name):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -121,6 +130,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         remat=bool(remat), use_pallas=use_pallas,
         fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call, scan_unroll=scan_unroll,
+        checkpointer=checkpointer,
     )
 
     mcfg = cfg.model_config()
@@ -140,13 +150,11 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         logger.info('Using %d synthetic sequences', synthetic)
 
     from pivp_tpu.training import loop
+    from pivp_tpu.utils import profiling
 
-    if profile_dir:
-        import jax
-        with jax.profiler.trace(profile_dir):
-            result = loop.run_training(cfg, arrays=arrays)
-    else:
-        result = loop.run_training(cfg, arrays=arrays)
+    with profiling.trace(profile_dir):
+        result = loop.run_training(cfg, arrays=arrays,
+                                   run_name=run_name or None)
     logger.info('Done; checkpoints in %s', result["save_dir"])
 
 

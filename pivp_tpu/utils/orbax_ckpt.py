@@ -32,6 +32,8 @@ def make_manager(directory: str, max_to_keep: int = 5):
 def save(manager, step: int, state: Any) -> None:
     import orbax.checkpoint as ocp
 
+    if step in manager.all_steps():
+        return  # already saved (e.g. the final re-save after a resume)
     manager.save(step, args=ocp.args.StandardSave(state))
     manager.wait_until_finished()
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -71,13 +71,7 @@ def enable_nan_debugging() -> None:
     jax.config.update("jax_debug_nans", True)
 
 
-def cost_analysis(fn: Callable, *args) -> Dict[str, float]:
-    """FLOP/byte estimates for a jitted callable at given args."""
-    import jax
-
-    compiled = jax.jit(fn).lower(*args).compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0] if ca else {}
-    return {k: ca[k] for k in ("flops", "bytes accessed")
-            if ca and k in ca}
+# NOTE: there is deliberately no cost_analysis() helper here — XLA's
+# compiled.cost_analysis()["flops"] under-reports convolutions by ~300x
+# on plugin backends (measured; see BENCHMARKS.md). Use the analytic
+# count in pivp_tpu.utils.flops instead.

@@ -124,13 +124,39 @@ ENC_NAMES = ("enc0", "enc1", "enc2", "enc3", "enc4", "enc5", "enc6",
              "enc7")
 
 
+def project_activation(conv_w: np.ndarray, activation: np.ndarray,
+                       stride: int, padding: int,
+                       outsize) -> np.ndarray:
+    """Deconv-project a (B, h, w, C_out) activation back to the input
+    pixel space through the conv's OWN weights — the adjoint of the conv,
+    exactly the reference's deconv-projection helper
+    (visualize.py:432-438: `deconvolution_2d(x, conv.W, stride, pad,
+    outsize=(64, 64))`). Returns (B, H, W, C_in)."""
+    import jax.numpy as jnp
+
+    from pivp_tpu.ops import layers
+
+    # conv weight (kh, kw, in, out) -> deconv weight (kh, kw, out, in):
+    # the activation's channels are the deconv's input channels.
+    w = jnp.transpose(jnp.asarray(conv_w), (0, 1, 3, 2))
+    p = {"w": w, "b": jnp.zeros((w.shape[-1],), w.dtype)}
+    return np.asarray(layers.deconv2d(p, jnp.asarray(activation),
+                                      stride=stride, padding=padding,
+                                      outsize=tuple(outsize)))
+
+
 def visualize_model(checkpoint_path: str, model_type: str,
                     images: np.ndarray, actions: np.ndarray,
                     states: np.ndarray, out_dir: str,
                     num_masks: int = 10, context_frames: int = 2,
-                    use_state: bool = True) -> List[str]:
+                    use_state: bool = True,
+                    all_timesteps: bool = False) -> List[str]:
     """Reload a checkpoint, run a short prediction with activation capture
-    and render one grid per enc layer (visualize.py:386-447)."""
+    and render per-layer activation grids (visualize.py:386-447): the
+    last timestep (the reference's Model.conv_res view) plus per-timestep
+    grids — first/middle/last by default, every step with
+    `all_timesteps=True` — and the enc0 deconv-projection back to pixel
+    space (visualize.py:432-438)."""
     import jax
     import jax.numpy as jnp
 
@@ -151,8 +177,30 @@ def visualize_model(checkpoint_path: str, model_type: str,
 
     viz = Visualizer(out_dir)
     written = []
+    # Last-timestep grids (reference conv_res view; stable filenames).
     for name, act in zip(ENC_NAMES, out["conv_res"]):
         written.append(viz.plot_activation(np.asarray(act), name))
+    # Per-timestep grids.
+    n_steps = int(out["gen_images"].shape[0])
+    steps = (range(n_steps) if all_timesteps
+             else sorted({0, n_steps // 2, n_steps - 1}))
+    for name, acts in zip(ENC_NAMES, out["conv_res_all"]):
+        acts = np.asarray(acts)                     # (T-1, B, h, w, C)
+        for ti in steps:
+            written.append(viz.plot_activation(
+                acts[ti], f"{name}-t{ti}"))
+    # enc0 activations projected to pixel space through enc0's weights.
+    enc0_all = np.asarray(out["conv_res_all"][0])
+    h, w = images.shape[1], images.shape[2]
+    for ti in steps:
+        proj = project_activation(np.asarray(params["enc0"]["w"]),
+                                  enc0_all[ti], stride=2, padding=2,
+                                  outsize=(h, w))[0]      # (H, W, C_in)
+        lo, hi = proj.min(), proj.max()
+        if hi > lo:
+            proj = (proj - lo) / (hi - lo)
+        written.append(viz.plot_output(proj[None],
+                                       f"enc0-projected-t{ti}"))
     written.append(viz.plot_output(
         np.asarray(out["gen_images"])[:, 0], "prediction"))
     # Filter-weight grids for the conv trunk (Visualizer.plot_filters

@@ -36,11 +36,14 @@ from pivp_tpu.utils import logging_utils
 @click.option('--use_state', type=click.INT, default=1)
 @click.option('--time_step', type=click.INT, default=3,
               help='Frames to run for the activation pass.')
+@click.option('--all_timesteps', type=click.INT, default=0,
+              help='Render activation grids for EVERY rollout step '
+                   '(default: first/middle/last).')
 @click.option('--out_dir', type=click.Path(), default='',
               help='Output dir (defaults to reports/figures/<model_dir>).')
 def main(model_dir, model_name, models_dir, data_dir, data_index,
          model_type, num_masks, context_frames, use_state, time_step,
-         out_dir):
+         all_timesteps, out_dir):
     """Render loss curves (and activation maps with --model_name)."""
     logging_utils.setup_logging()
     logger = logging.getLogger(__name__)
@@ -69,7 +72,8 @@ def main(model_dir, model_name, models_dir, data_dir, data_index,
             os.path.join(run_dir, model_name), model_type,
             image[:t], action[:t], state[:t], out_dir,
             num_masks=num_masks, context_frames=context_frames,
-            use_state=bool(use_state))
+            use_state=bool(use_state),
+            all_timesteps=bool(all_timesteps))
         for w in written:
             logger.info("Wrote %s", w)
 

@@ -81,10 +81,17 @@ def test_loss_curves_and_activations(trained_run, tmp_path):
     written = viz.visualize_model(
         os.path.join(save_dir, "training-final.npz"), "CDNA",
         imgs[0], acts[0], stas[0], out_dir, num_masks=3)
-    # enc0..enc7 activation grids + prediction strip + 3 filter grids.
-    assert len(written) == 12
     assert all(os.path.exists(w) for w in written)
+    # enc0..enc7 last-step grids (reference conv_res view).
+    for name in viz.ENC_NAMES:
+        assert any(w.endswith(f"{name}-activation.png") for w in written)
+    # Per-timestep grids (first/middle/last of the 3-step rollout).
+    for ti in (0, 1, 2):
+        assert any(f"enc0-t{ti}-activation" in w for w in written)
+    # enc0 deconv projection back to pixel space + filters + prediction.
+    assert any("enc0-projected-t0" in w for w in written)
     assert any("filters" in w for w in written)
+    assert any("prediction-output" in w for w in written)
 
 
 def test_visualizer_filters(tmp_path):

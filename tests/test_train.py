@@ -158,3 +158,38 @@ def test_validation_invariant_to_batch_size():
     for key in ("loss", "psnr_all", "psnr_per_image", "ssim"):
         assert abs(v3[key] - v7[key]) < 1e-4 * max(1.0, abs(v7[key])), \
             (key, v3[key], v7[key])
+
+
+def test_orbax_checkpointer_save_and_resume(tmp_path):
+    """--checkpointer orbax: step-managed TrainState checkpoints are
+    written alongside the npz artifacts, and re-running the same run
+    name auto-resumes from the latest step instead of restarting."""
+    from pivp_tpu.training import loop
+    from pivp_tpu.utils import orbax_ckpt
+
+    assert orbax_ckpt.available()
+    arrays = synthetic.generate_sequences(8, 4, 16, 16)
+    base = dict(
+        batch_size=4, sequence_length=4, context_frames=2, num_masks=3,
+        model_type="CDNA", train_val_split=1.0, validation_interval=100,
+        save_interval=1, output_dir=str(tmp_path), learning_rate=1e-3,
+        image_height=16, image_width=16, checkpointer="orbax")
+
+    cfg = TrainConfig(num_iterations=4, **base)
+    r1 = loop.run_training(cfg, arrays=arrays, run_name="resume-run")
+    assert int(r1["state"].step) == 4
+    orbax_dir = os.path.join(r1["save_dir"], "orbax")
+    assert os.path.isdir(orbax_dir)
+
+    # Restore directly: latest step holds the final state.
+    mgr = orbax_ckpt.make_manager(orbax_dir)
+    assert mgr.latest_step() == 4
+    restored = orbax_ckpt.restore(mgr, r1["state"])
+    a = jax.tree_util.tree_leaves(restored.params)[0]
+    b = jax.tree_util.tree_leaves(r1["state"].params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))
+
+    # Resume: same run_name, higher iteration budget -> continues from 4.
+    cfg2 = TrainConfig(num_iterations=7, **base)
+    r2 = loop.run_training(cfg2, arrays=arrays, run_name="resume-run")
+    assert int(r2["state"].step) == 7
