@@ -8,14 +8,25 @@ This is the "dynamic neural advection" expectation (reference
 train_model.py:408-414) and, via the fused-CDNA identity
 (transforms.fused_cdna_composite), also the CDNA transform+composite.
 The XLA fallback materializes a K^2-tap shifted stack in HBM; this kernel
-streams the padded frame into VMEM once per sample and accumulates all
-K^2 shifted products in registers/VMEM — no stack materialization in
-either the forward or backward pass.
+accumulates all K^2 shifted products in VMEM — no stack materialization
+in either the forward or backward pass.
 
 Layout: channel-planar (B, C, H, W) inside the kernel (W on lanes, H on
 sublanes); the public wrapper takes/returns NHWC. The per-pixel kernels
 ride along as (K*K, H, W) planes so each tap is a cheap leading-index
-slice.
+slice, and the tap loop broadcasts over the whole channel axis (no
+per-channel unrolling — compile time is O(K^2), independent of C).
+
+Two execution layouts, chosen by image height:
+  * whole-frame (H <= 128, the 64x64 robot-push hot path): one grid step
+    per sample, every operand a plain VMEM block;
+  * H-tiled (larger frames): grid (B, H/tile); the halo'd operands
+    (padded frame; padded w*g planes in the input-gradient pass) stay in
+    HBM (`pltpu.ANY`) and each grid step DMAs its `tile + 2*pad` row
+    window into VMEM scratch (`pltpu.make_async_copy`). All inputs are
+    pre-padded by `pad` rows, so every DMA window is static-size and
+    in-bounds. VMEM per step is O(tile * W), so the kernel holds at
+    256x256 and beyond where whole-frame blocks would blow VMEM.
 """
 
 from __future__ import annotations
@@ -30,126 +41,292 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(xp_ref, w_ref, y_ref, *, ksize: int, height: int,
-                width: int, channels: int):
-    # xp_ref: (1, C, H+2p, W+2p); w_ref: (1, KK, H, W); y_ref: (1, C, H, W)
-    for c in range(channels):
-        acc = jnp.zeros((height, width), jnp.float32)
-        for t in range(ksize * ksize):
-            dx, dy = divmod(t, ksize)
-            win = xp_ref[0, c, dx:dx + height, dy:dy + width]
-            acc += w_ref[0, t].astype(jnp.float32) * \
-                win.astype(jnp.float32)
-        y_ref[0, c] = acc.astype(y_ref.dtype)
+def _pick_tile(h: int) -> int:
+    """Whole frame up to 128 rows; 64-row tiles when they divide H."""
+    return 64 if (h > 128 and h % 64 == 0) else h
 
 
-def _bwd_w_kernel(xp_ref, g_ref, dw_ref, *, ksize: int, height: int,
-                  width: int, channels: int):
-    # dW[t] = sum_c g[c] * window_t(xp[c])
+def _sublane(dtype) -> int:
+    """Minimum sublane tiling for the dtype (Mosaic requires DMA slice
+    sizes on the second-to-last dim to be multiples of this)."""
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
+def _halo_rows(pad: int, dtype) -> int:
+    """Halo row count rounded up to the sublane tiling, so the DMA'd
+    window (tile + halo rows) stays tiling-aligned."""
+    sub = _sublane(dtype)
+    return -(-2 * pad // sub) * sub
+
+
+def _pads(h: int, wd: int, pad: int, tile: int, dtype):
+    """(row_pad, col_pad, halo, padded_cols). The tiled DMA path needs
+    Mosaic-aligned slice sizes: rows to the sublane tiling, cols to 128
+    lanes; whole-frame VMEM blocks take the true 2*pad halo."""
+    halo = _halo_rows(pad, dtype)
+    if tile == h:
+        return (pad, pad), (pad, pad), halo, wd + 2 * pad
+    cols = -(-(wd + 2 * pad) // 128) * 128
+    return (pad, halo - pad), (pad, cols - wd - pad), halo, cols
+
+
+# ---------------------------------------------------------------------------
+# Forward: y = sum_t w_t * shift_t(x)
+# ---------------------------------------------------------------------------
+
+def _fwd_whole(xp_ref, w_ref, y_ref, *, ksize: int, height: int,
+               width: int):
+    # xp: (1, C, H+2p, W+2p); w: (1, KK, H, W); y: (1, C, H, W)
+    acc = jnp.zeros(y_ref.shape[1:], jnp.float32)
     for t in range(ksize * ksize):
         dx, dy = divmod(t, ksize)
-        acc = jnp.zeros((height, width), jnp.float32)
-        for c in range(channels):
-            win = xp_ref[0, c, dx:dx + height, dy:dy + width]
-            acc += g_ref[0, c].astype(jnp.float32) * \
-                win.astype(jnp.float32)
-        dw_ref[0, t] = acc.astype(dw_ref.dtype)
+        win = xp_ref[0, :, dx:dx + height, dy:dy + width]
+        acc += w_ref[0, t][None].astype(jnp.float32) * \
+            win.astype(jnp.float32)
+    y_ref[0] = acc.astype(y_ref.dtype)
 
 
-def _bwd_x_kernel(w_ref, g_ref, dx_ref, scratch, *, ksize: int,
-                  height: int, width: int, channels: int):
-    # dX[q] = sum_t (w_t * g)[q - delta_t + p]  (transposed shifts):
-    # pad P_t = w_t*g by p each side, then read the flipped-tap windows.
-    pad = ksize // 2
-    for c in range(channels):
-        acc = jnp.zeros((height, width), jnp.float32)
-        for t in range(ksize * ksize):
-            dx, dy = divmod(t, ksize)
-            scratch[...] = jnp.zeros_like(scratch)
-            scratch[pad:pad + height, pad:pad + width] = (
-                w_ref[0, t].astype(jnp.float32)
-                * g_ref[0, c].astype(jnp.float32))
-            fx, fy = 2 * pad - dx, 2 * pad - dy
-            acc += scratch[fx:fx + height, fy:fy + width]
-        dx_ref[0, c] = acc.astype(dx_ref.dtype)
-
-
-def _prep(x: jnp.ndarray, w: jnp.ndarray):
-    b, h, wd, c = x.shape
-    ksq = w.shape[-1]
-    k = int(round(math.sqrt(ksq)))
-    pad = k // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    xp = jnp.transpose(xp, (0, 3, 1, 2))          # (B, C, H+2p, W+2p)
-    wt = jnp.transpose(w, (0, 3, 1, 2))           # (B, KK, H, W)
-    return xp, wt, (b, h, wd, c, k, pad)
+def _fwd_tiled(xp_hbm, w_ref, y_ref, scratch, sem, *, ksize: int,
+               tile: int, width: int, halo: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[i, :, pl.ds(j * tile, tile + halo), :], scratch, sem)
+    cp.start()
+    cp.wait()
+    acc = jnp.zeros(y_ref.shape[1:], jnp.float32)
+    for t in range(ksize * ksize):
+        dx, dy = divmod(t, ksize)
+        win = scratch[:, dx:dx + tile, dy:dy + width]
+        acc += w_ref[0, t][None].astype(jnp.float32) * \
+            win.astype(jnp.float32)
+    y_ref[0] = acc.astype(y_ref.dtype)
 
 
 def _fwd_call(x: jnp.ndarray, w: jnp.ndarray,
               interpret: bool = False) -> jnp.ndarray:
-    xp, wt, (b, h, wd, c, k, pad) = _prep(x, w)
-    kern = functools.partial(_fwd_kernel, ksize=k, height=h, width=wd,
-                             channels=c)
-    y = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, c, h + 2 * pad, wd + 2 * pad),
-                         lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * k, h, wd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
-        interpret=interpret,
-    )(xp, wt)
+    b, h, wd, c = x.shape
+    ksq = w.shape[-1]
+    k = int(round(math.sqrt(ksq)))
+    pad = k // 2
+    tile = _pick_tile(h)
+    row_pad, col_pad, halo, cols = _pads(h, wd, pad, tile, x.dtype)
+    xp = jnp.transpose(
+        jnp.pad(x, ((0, 0), row_pad, col_pad, (0, 0))),
+        (0, 3, 1, 2))                                 # (B, C, H', cols)
+    wt = jnp.transpose(w, (0, 3, 1, 2))               # (B, KK, H, W)
+
+    if tile == h:
+        y = pl.pallas_call(
+            functools.partial(_fwd_whole, ksize=k, height=h, width=wd),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, c, h + 2 * pad, wd + 2 * pad),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ksq, h, wd), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
+            interpret=interpret,
+        )(xp, wt)
+    else:
+        y = pl.pallas_call(
+            functools.partial(_fwd_tiled, ksize=k, tile=tile, width=wd,
+                              halo=halo),
+            grid=(b, h // tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, ksq, tile, wd),
+                             lambda i, j: (i, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, tile, wd),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((c, tile + halo, cols), xp.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xp, wt)
     return jnp.transpose(y, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# Backward wrt w: dW[t] = sum_c g_c * shift_t(x)_c
+# ---------------------------------------------------------------------------
+
+def _bwd_w_whole(xp_ref, g_ref, dw_ref, *, ksize: int, height: int,
+                 width: int):
+    g = g_ref[0].astype(jnp.float32)                  # (C, H, W)
+    for t in range(ksize * ksize):
+        dx, dy = divmod(t, ksize)
+        win = xp_ref[0, :, dx:dx + height, dy:dy + width]
+        dw_ref[0, t] = jnp.sum(g * win.astype(jnp.float32),
+                               axis=0).astype(dw_ref.dtype)
+
+
+def _bwd_w_tiled(xp_hbm, g_ref, dw_ref, scratch, sem, *, ksize: int,
+                 tile: int, width: int, halo: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[i, :, pl.ds(j * tile, tile + halo), :], scratch, sem)
+    cp.start()
+    cp.wait()
+    g = g_ref[0].astype(jnp.float32)
+    for t in range(ksize * ksize):
+        dx, dy = divmod(t, ksize)
+        win = scratch[:, dx:dx + tile, dy:dy + width]
+        dw_ref[0, t] = jnp.sum(g * win.astype(jnp.float32),
+                               axis=0).astype(dw_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backward wrt x: dX = sum_t flipped-shift_t(w_t * g)
+# (with w, g zero-padded by p, pad(w_t * g) == wp_t * gp exactly)
+# ---------------------------------------------------------------------------
+
+def _bwd_x_whole(wp_ref, gp_ref, dx_ref, *, ksize: int, height: int,
+                 width: int):
+    pad = ksize // 2
+    gp = gp_ref[0].astype(jnp.float32)                # (C, H+2p, W+2p)
+    acc = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+    for t in range(ksize * ksize):
+        dx, dy = divmod(t, ksize)
+        fx, fy = 2 * pad - dx, 2 * pad - dy
+        prod = wp_ref[0, t][None].astype(jnp.float32) * gp
+        acc += prod[:, fx:fx + height, fy:fy + width]
+    dx_ref[0] = acc.astype(dx_ref.dtype)
+
+
+def _bwd_x_tiled(wp_hbm, gp_hbm, dx_ref, w_scratch, g_scratch, w_sem,
+                 g_sem, *, ksize: int, tile: int, width: int, halo: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pad = ksize // 2
+    rows = pl.ds(j * tile, tile + halo)
+    cp_w = pltpu.make_async_copy(wp_hbm.at[i, :, rows, :], w_scratch,
+                                 w_sem)
+    cp_g = pltpu.make_async_copy(gp_hbm.at[i, :, rows, :], g_scratch,
+                                 g_sem)
+    cp_w.start()
+    cp_g.start()
+    cp_w.wait()
+    cp_g.wait()
+    gp = g_scratch[...].astype(jnp.float32)
+    acc = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+    for t in range(ksize * ksize):
+        dx, dy = divmod(t, ksize)
+        fx, fy = 2 * pad - dx, 2 * pad - dy
+        prod = w_scratch[t][None].astype(jnp.float32) * gp
+        acc += prod[:, fx:fx + tile, fy:fy + width]
+    dx_ref[0] = acc.astype(dx_ref.dtype)
 
 
 def _bwd_call(x: jnp.ndarray, w: jnp.ndarray, g: jnp.ndarray,
               interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    xp, wt, (b, h, wd, c, k, pad) = _prep(x, w)
-    gt = jnp.transpose(g, (0, 3, 1, 2))           # (B, C, H, W)
+    b, h, wd, c = x.shape
+    ksq = w.shape[-1]
+    k = int(round(math.sqrt(ksq)))
+    pad = k // 2
+    tile = _pick_tile(h)
+    row_pad, col_pad, halo, cols = _pads(h, wd, pad, tile, x.dtype)
 
-    dw_kern = functools.partial(_bwd_w_kernel, ksize=k, height=h,
-                                width=wd, channels=c)
-    dwt = pl.pallas_call(
-        dw_kern,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, c, h + 2 * pad, wd + 2 * pad),
-                         lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, k * k, h, wd), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k * k, h, wd), w.dtype),
-        interpret=interpret,
-    )(xp, gt)
+    xp = jnp.transpose(
+        jnp.pad(x, ((0, 0), row_pad, col_pad, (0, 0))),
+        (0, 3, 1, 2))                                 # (B, C, H', cols)
+    gt = jnp.transpose(g, (0, 3, 1, 2))               # (B, C, H, W)
+
+    # --- dW ---------------------------------------------------------------
+    if tile == h:
+        dwt = pl.pallas_call(
+            functools.partial(_bwd_w_whole, ksize=k, height=h, width=wd),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, c, h + 2 * pad, wd + 2 * pad),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ksq, h, wd),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, ksq, h, wd), w.dtype),
+            interpret=interpret,
+        )(xp, gt)
+    else:
+        dwt = pl.pallas_call(
+            functools.partial(_bwd_w_tiled, ksize=k, tile=tile, width=wd,
+                              halo=halo),
+            grid=(b, h // tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, c, tile, wd), lambda i, j: (i, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ksq, tile, wd),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, ksq, h, wd), w.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((c, tile + halo, cols), xp.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xp, gt)
     dw = jnp.transpose(dwt, (0, 2, 3, 1))
 
-    dx_kern = functools.partial(_bwd_x_kernel, ksize=k, height=h,
-                                width=wd, channels=c)
-    dxt = pl.pallas_call(
-        dx_kern,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, k * k, h, wd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2 * pad, wd + 2 * pad), jnp.float32)],
-        interpret=interpret,
-    )(wt, gt)
+    # --- dX ---------------------------------------------------------------
+    wp = jnp.transpose(
+        jnp.pad(w, ((0, 0), row_pad, col_pad, (0, 0))),
+        (0, 3, 1, 2))                                 # (B, KK, H', cols)
+    gp = jnp.transpose(
+        jnp.pad(g, ((0, 0), row_pad, col_pad, (0, 0))),
+        (0, 3, 1, 2))                                 # (B, C, H', cols)
+    if tile == h:
+        dxt = pl.pallas_call(
+            functools.partial(_bwd_x_whole, ksize=k, height=h, width=wd),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, ksq, h + 2 * pad, wd + 2 * pad),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, h + 2 * pad, wd + 2 * pad),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
+            interpret=interpret,
+        )(wp, gp)
+    else:
+        dxt = pl.pallas_call(
+            functools.partial(_bwd_x_tiled, ksize=k, tile=tile, width=wd,
+                              halo=halo),
+            grid=(b, h // tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, c, tile, wd),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, c, h, wd), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((ksq, tile + halo, cols), wp.dtype),
+                pltpu.VMEM((c, tile + halo, cols), gp.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(wp, gp)
     dx = jnp.transpose(dxt, (0, 2, 3, 1))
     return dx, dw
 

@@ -80,3 +80,50 @@ def test_fused_cdna_with_pallas_apply():
         local_apply=lambda x, w: la.local_kernel_apply(x, w, True))
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_path_matches_reference():
+    """H > 128 takes the H-tiled DMA layout (halo'd row windows copied
+    from HBM into VMEM scratch); forward and both custom-VJP gradients
+    must match the XLA reference. 192 rows -> three 64-row tiles."""
+    x, w = _data(b=1, h=192, w=64)
+    assert la._pick_tile(192) == 64
+    y = la.local_kernel_apply(x, w, True)
+    y_ref = la.local_kernel_apply_reference(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    g = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    dx_p, dw_p = jax.grad(
+        lambda a, b_: jnp.vdot(la.local_kernel_apply(a, b_, True), g),
+        argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(
+        lambda a, b_: jnp.vdot(la.local_kernel_apply_reference(a, b_), g),
+        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_on_real_tpu_when_available():
+    """TPU-executed numerical check (whole-frame 64x64 + H-tiled 256x256,
+    f32 + bf16) via tools/check_pallas_tpu.py in a clean subprocess (this
+    test env forces a CPU backend). Skipped unless PIVP_TPU_TESTS=1."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    if os.environ.get("PIVP_TPU_TESTS") != "1":
+        pytest.skip("set PIVP_TPU_TESTS=1 to run the TPU-executed check")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "check_pallas_tpu.py")],
+        env=env, capture_output=True, text=True, timeout=3600)
+    print(proc.stdout[-2000:])
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
