@@ -138,7 +138,7 @@ def _fwd_call(x: jnp.ndarray, w: jnp.ndarray,
                               halo=halo),
             grid=(b, h // tile),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, ksq, tile, wd),
                              lambda i, j: (i, 0, j, 0),
                              memory_space=pltpu.VMEM),
@@ -266,7 +266,7 @@ def _bwd_call(x: jnp.ndarray, w: jnp.ndarray, g: jnp.ndarray,
                               halo=halo),
             grid=(b, h // tile),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, c, tile, wd), lambda i, j: (i, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -312,8 +312,8 @@ def _bwd_call(x: jnp.ndarray, w: jnp.ndarray, g: jnp.ndarray,
                               halo=halo),
             grid=(b, h // tile),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, c, tile, wd),
                                    lambda i, j: (i, 0, j, 0),
