@@ -204,6 +204,12 @@ class TrainConfig:
     # disappears; 1 elsewhere, where compile time dominates). Any other
     # value is passed to lax.scan verbatim.
     scan_unroll: int = 0
+    # Input-pipeline prefetch depth: a daemon thread assembles (and, with
+    # u8_transfer, quantizes) up to N device calls ahead so host-side
+    # batch assembly overlaps device compute. 0 disables (assembly on the
+    # consumer thread, still fully deterministic — the batch order is
+    # identical either way).
+    prefetch: int = 2
     # Abort + save an emergency checkpoint if the loss goes non-finite.
     nan_guard: bool = True
     # Checkpoint backend: 'npz' keeps the reference artifact contract

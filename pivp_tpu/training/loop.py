@@ -123,48 +123,36 @@ def run_training(cfg: TrainConfig,
     # barrier; block_until_ready is unreliable on remote-attached
     # runtimes — see utils/profiling.StepTimer).
     step_timer = profiling.StepTimer() if cfg.debug else None
-    while itr < cfg.num_iterations:
+
+    # Input pipeline: batch assembly (index-gather + transpose + u8
+    # quantization + optional device_put) runs in _produce_calls; with
+    # cfg.prefetch > 0 a daemon thread keeps a bounded queue of ready
+    # calls so host assembly overlaps device compute. Metric arrays are
+    # kept as device values until the epoch flush — fetching them eagerly
+    # would block the dispatch pipeline on every call.
+    calls = _produce_calls(batcher, cfg, itr, mesh)
+    if cfg.prefetch > 0:
+        calls = _Prefetcher(calls, cfg.prefetch)
+
+    for payload, k, is_epoch_boundary, epoch_now in calls:
         rng, step_key = jax.random.split(rng)
         if cfg.steps_per_call > 1:
-            # Multi-step dispatch: K optimizer steps per device call
-            # (amortizes host/tunnel latency). Per-iteration metrics are
-            # recovered from the stacked (K,) outputs; epoch-level
-            # bookkeeping fires at call granularity.
-            k = min(cfg.steps_per_call, cfg.num_iterations - itr)
-            host_batches = []
-            new_epoch = False
-            for _ in range(k):
-                host_batches.append(batcher.next())
-                new_epoch = new_epoch or batcher.is_new_epoch
-            stacked = tuple(
-                np.stack([b[i] for b in host_batches])
-                for i in range(3))
-            if cfg.u8_transfer:
-                stacked = (_quantize_images(stacked[0]), stacked[1],
-                           stacked[2])
-            if mesh.size > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                stacked = jax.device_put(stacked, NamedSharding(
-                    mesh, P(None, None, mesh_lib.DATA_AXIS)))
-            state, metrics = train_multi(state, stacked,
+            # Multi-step dispatch: payload is K stacked batches (possibly
+            # K=1 on the final call), one device call = K optimizer steps
+            # (amortizes host/tunnel latency). Per-iteration metrics come
+            # back as stacked (K,) device arrays; epoch bookkeeping fires
+            # at call granularity.
+            state, metrics = train_multi(state, payload,
                                          jnp.float32(itr), step_key)
-            local_losses.extend(np.asarray(metrics["loss"]).tolist())
-            local_psnrs.extend(np.asarray(metrics["psnr_all"]).tolist())
-            last_metrics = metrics
-            itr += k
-            is_epoch_boundary = new_epoch
+            local_losses.append(metrics["loss"])      # device (K,) array
+            local_psnrs.append(metrics["psnr_all"])
         else:
-            batch = batcher.next()
-            if cfg.u8_transfer:
-                batch = (_quantize_images(batch[0]), batch[1], batch[2])
-            batch = mesh_lib.shard_batch(mesh, batch)
             if step_timer is not None:
                 step_timer.start()
-            state, metrics = train_step(state, batch, jnp.float32(itr),
+            state, metrics = train_step(state, payload, jnp.float32(itr),
                                         step_key)
             if step_timer is not None:
                 step_timer.stop(barrier_value=metrics["loss"])
-            last_metrics = metrics
             # Device scalars appended lazily; forced at epoch boundaries
             # only, so steps keep dispatching asynchronously.
             local_losses.append(metrics["loss"])
@@ -173,15 +161,19 @@ def run_training(cfg: TrainConfig,
                 logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
                             float(metrics["loss"]),
                             float(metrics["psnr_all"]))
-            itr += 1
-            is_epoch_boundary = batcher.is_new_epoch
+        last_metrics = metrics
+        itr += k
 
         if not is_epoch_boundary:
             continue
 
-        epoch = batcher.epoch
-        losses_np = np.asarray([float(x) for x in local_losses])
-        psnr_np = np.asarray([float(x) for x in local_psnrs])
+        epoch = epoch_now
+        losses_np = np.concatenate(
+            [np.atleast_1d(np.asarray(x, np.float64))
+             for x in local_losses])
+        psnr_np = np.concatenate(
+            [np.atleast_1d(np.asarray(x, np.float64))
+             for x in local_psnrs])
 
         # Failure detection: catch divergence, save an emergency
         # checkpoint, and abort (no reference equivalent — its only
@@ -303,6 +295,81 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
         "ssim": float(ssim_tb.mean()),
         "n_sequences": int(recon.shape[1]),
     }
+
+
+def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh):
+    """Yield (payload, k, new_epoch, epoch) device-call descriptions.
+
+    payload is one batch (steps_per_call == 1) or K stacked batches, u8-
+    quantized if configured and already device_put when the mesh is
+    multi-device. Runs on the prefetch thread when cfg.prefetch > 0, so
+    everything here (gather + stack + quantize + transfer start) overlaps
+    device compute.
+    """
+    itr = start_itr
+    while itr < cfg.num_iterations:
+        if cfg.steps_per_call > 1:
+            k = min(cfg.steps_per_call, cfg.num_iterations - itr)
+            host_batches = []
+            new_epoch = False
+            for _ in range(k):
+                host_batches.append(batcher.next())
+                new_epoch = new_epoch or batcher.is_new_epoch
+            stacked = tuple(
+                np.stack([b[i] for b in host_batches])
+                for i in range(3))
+            if cfg.u8_transfer:
+                stacked = (_quantize_images(stacked[0]), stacked[1],
+                           stacked[2])
+            if mesh.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                stacked = jax.device_put(stacked, NamedSharding(
+                    mesh, P(None, None, mesh_lib.DATA_AXIS)))
+            yield stacked, k, new_epoch, batcher.epoch
+            itr += k
+        else:
+            batch = batcher.next()
+            if cfg.u8_transfer:
+                batch = (_quantize_images(batch[0]), batch[1], batch[2])
+            batch = mesh_lib.shard_batch(mesh, batch)
+            yield batch, 1, batcher.is_new_epoch, batcher.epoch
+            itr += 1
+
+
+class _Prefetcher:
+    """Bounded-queue iterator: a daemon thread drains `gen` ahead of the
+    consumer (depth items max). Exceptions re-raise on the consumer side;
+    order is exactly the generator's, so training is bit-identical with
+    prefetching on or off (tested)."""
+
+    _DONE = object()
+
+    def __init__(self, gen, depth: int):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._thread = threading.Thread(
+            target=self._run, args=(gen,), daemon=True,
+            name="pivp-input-prefetch")
+        self._thread.start()
+
+    def _run(self, gen):
+        try:
+            for item in gen:
+                self._q.put(item)
+            self._q.put(self._DONE)
+        except BaseException as e:  # surface on the consumer thread
+            self._q.put(e)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def _quantize_images(images: np.ndarray) -> np.ndarray:

@@ -82,6 +82,9 @@ from pivp_tpu.utils import logging_utils
 @click.option('--scan_unroll', type=click.INT, default=0,
               help='Time-scan unroll: 0 auto (full on TPU), 1 rolled, '
                    'N partial.')
+@click.option('--prefetch', type=click.INT, default=2,
+              help='Input-pipeline prefetch depth (0 = assemble batches '
+                   'on the main thread).')
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
@@ -100,7 +103,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
          num_devices, remat, use_pallas, fused_cdna, u8_transfer,
-         steps_per_call, scan_unroll, synthetic, profile_dir,
+         steps_per_call, scan_unroll, prefetch, synthetic, profile_dir,
          checkpointer, run_name):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
@@ -130,7 +133,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         remat=bool(remat), use_pallas=use_pallas,
         fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call, scan_unroll=scan_unroll,
-        checkpointer=checkpointer,
+        prefetch=prefetch, checkpointer=checkpointer,
     )
 
     mcfg = cfg.model_config()

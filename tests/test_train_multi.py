@@ -89,3 +89,28 @@ def test_nan_guard_aborts_and_checkpoints(tmp_path):
     assert runs, "emergency checkpoint dir missing"
     files = os.listdir(os.path.join(tmp_path, runs[0]))
     assert any("nan-epoch" in f for f in files)
+
+
+def test_prefetch_is_bit_identical(tmp_path):
+    """The prefetch thread must not change anything: same batch order,
+    same rng stream, identical loss curves with prefetch 0 vs 2, for both
+    dispatch granularities."""
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(10, 4, 16, 16)
+
+    def run(prefetch, steps_per_call, tag):
+        cfg = TrainConfig(
+            num_iterations=7, batch_size=4, sequence_length=4,
+            context_frames=2, num_masks=3, train_val_split=0.8,
+            validation_interval=2, save_interval=100,
+            output_dir=str(tmp_path / tag), image_height=16,
+            image_width=16, steps_per_call=steps_per_call,
+            prefetch=prefetch)
+        out = loop.run_training(cfg, arrays=arrays)
+        return np.asarray(out["global_losses"])
+
+    for spc in (1, 3):
+        a = run(0, spc, f"off{spc}")
+        b = run(2, spc, f"on{spc}")
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,121 @@
+"""Inference (serving) throughput benchmark: autoregressive feed-self
+rollout of each head, batched, on one chip.
+
+The reference has no serving path beyond single-sequence predict
+(/root/reference/src/models/predict_model.py); this measures the
+TPU-native equivalent of a production prediction service: jitted
+train=False rollout (context frames in, T-context predicted frames out),
+dispatched asynchronously so the tunnel RTT overlaps compute.
+
+Two numbers per config:
+  * rollout  — on-device prediction rate (host fetches an 8-byte digest
+    per dispatch, so the device pipeline never stalls on the tunnel);
+  * e2e      — end-to-end including download of the predicted frames,
+    quantized to uint8 on-device first (4x less tunnel traffic, the
+    same trick as TrainConfig.u8_transfer on the input side).
+
+Run: python tools/bench_inference.py [--batch 32] [--rounds 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from pivp_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pivp_tpu.config import ModelConfig  # noqa: E402
+from pivp_tpu.data import dataset as dataset_lib  # noqa: E402
+from pivp_tpu.data import synthetic  # noqa: E402
+from pivp_tpu.models import predictor  # noqa: E402
+
+SEQ, CONTEXT = 10, 2
+
+MODELS = [("CDNA", 10), ("DNA", 1), ("STP", 10)]
+
+
+def bench_model(model_type: str, num_masks: int, batch: int,
+                rounds: int) -> None:
+    cfg = ModelConfig(model_type=model_type, num_masks=num_masks,
+                      sequence_length=SEQ, context_frames=CONTEXT,
+                      scheduled_sampling_k=-1.0,
+                      compute_dtype="bfloat16", use_pallas=True,
+                      scan_unroll=SEQ - 1)
+    params = predictor.init_params(jax.random.PRNGKey(0), cfg)
+    imgs, acts, stas = synthetic.generate_sequences(batch, SEQ)
+    images, actions, states = (
+        jnp.asarray(a) for a in dataset_lib.to_time_major(
+            imgs, acts, stas))
+
+    @jax.jit
+    def predict_digest(params, images, actions, states, salt):
+        out = predictor.rollout(
+            params, cfg, images + salt, actions, states,
+            jnp.float32(0.0), jax.random.PRNGKey(0), train=False)
+        return jnp.mean(out["gen_images"].astype(jnp.float32))
+
+    @jax.jit
+    def predict_frames(params, images, actions, states, salt):
+        out = predictor.rollout(
+            params, cfg, images + salt, actions, states,
+            jnp.float32(0.0), jax.random.PRNGKey(0), train=False)
+        # gen_images: (T-1, B, H, W, C); the predicted frames are the
+        # last T-context entries (rollout convention, predictor.py:307).
+        gen = out["gen_images"][CONTEXT - 1:]
+        return jnp.clip(gen.astype(jnp.float32) * 255.0 + 0.5,
+                        0, 255).astype(jnp.uint8)
+
+    frames_per_call = batch * (SEQ - CONTEXT)
+
+    # --- on-device rollout rate (async dispatch, digest fetch) ----------
+    float(predict_digest(params, images, actions, states,
+                         jnp.float32(0.0)))          # compile + warmup
+    t0 = time.perf_counter()
+    outs = [predict_digest(params, images, actions, states,
+                           jnp.float32(r) * 1e-6) for r in range(rounds)]
+    _ = [float(o) for o in outs]
+    dt = time.perf_counter() - t0
+    rollout_fps = rounds * frames_per_call / dt
+
+    # --- end-to-end including uint8 frame download ----------------------
+    np.asarray(predict_frames(params, images, actions, states,
+                              jnp.float32(0.0)))     # compile + warmup
+    t0 = time.perf_counter()
+    outs = [predict_frames(params, images, actions, states,
+                           jnp.float32(r) * 1e-6) for r in range(rounds)]
+    last = [np.asarray(o) for o in outs][-1]
+    dt = time.perf_counter() - t0
+    e2e_fps = rounds * frames_per_call / dt
+    assert last.dtype == np.uint8 and last.shape[-1] == 3
+
+    print(json.dumps({
+        "metric": f"{model_type} b{batch} inference rollout",
+        "value": round(rollout_fps, 1),
+        "unit": "predicted frames/s/chip",
+        "e2e_frames_per_sec": round(e2e_fps, 1),
+        "ms_per_rollout": round(1000.0 * batch * (SEQ - CONTEXT)
+                                / rollout_fps, 2),
+        "batch": batch,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=16)
+    a = ap.parse_args()
+    for model_type, num_masks in MODELS:
+        bench_model(model_type, num_masks, a.batch, a.rounds)
