@@ -55,3 +55,43 @@ def test_roundtrip_preserves_rollout(tmp_path):
                            train=False)
     np.testing.assert_allclose(np.asarray(o1["gen_images"]),
                                np.asarray(o2["gen_images"]))
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """The migration CLI (import/export subcommands) round-trips a
+    Chainer-layout checkpoint bit-exactly at the full 64x64 geometry."""
+    from click.testing import CliRunner
+
+    from pivp_tpu.utils import convert_cli
+
+    cfg = ModelConfig(model_type="CDNA", num_masks=10)
+    params = jax.device_get(predictor.init_params(jax.random.PRNGKey(7),
+                                                  cfg))
+    chainer_npz = str(tmp_path / "chainer.npz")
+    ours_npz = str(tmp_path / "ours.npz")
+    back_npz = str(tmp_path / "back.npz")
+    ckpt_lib.export_reference_npz(chainer_npz, cfg, params)
+
+    runner = CliRunner()
+    r = runner.invoke(convert_cli.main,
+                      ["import", chainer_npz, ours_npz,
+                       "--model_type", "CDNA", "--num_masks", "10"])
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(convert_cli.main,
+                      ["export", ours_npz, back_npz,
+                       "--model_type", "CDNA", "--num_masks", "10"])
+    assert r.exit_code == 0, r.output
+
+    with np.load(chainer_npz) as a, np.load(back_npz) as b:
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    imported = ckpt_lib.load_npz_into(
+        ours_npz, predictor.init_params(jax.random.PRNGKey(0), cfg))
+    for (ka, a), (kb, b) in zip(
+            sorted(ckpt_lib.flatten_pytree(params).items()),
+            sorted(ckpt_lib.flatten_pytree(imported).items())):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=ka)
