@@ -204,6 +204,11 @@ class TrainConfig:
     # disappears; 1 elsewhere, where compile time dominates). Any other
     # value is passed to lax.scan verbatim.
     scan_unroll: int = 0
+    # Gradient accumulation: split each batch into N microbatches and
+    # average their gradients (exact for the mean loss) — peak activation
+    # HBM scales with batch/N, enabling large effective batches or high
+    # resolutions on one chip. batch_size must be divisible by N.
+    grad_accum: int = 1
     # Input-pipeline prefetch depth: a daemon thread assembles (and, with
     # u8_transfer, quantizes) up to N device calls ahead so host-side
     # batch assembly overlaps device compute. 0 disables (assembly on the

@@ -61,11 +61,64 @@ def _loss_fn(params, cfg: ModelConfig, batch, iter_num, rng, remat: bool):
     return out["loss"], {k: out[k] for k in _METRIC_KEYS}
 
 
+def _grads_and_metrics(params, cfg: ModelConfig, batch, iter_num, rng,
+                       remat: bool, grad_accum: int):
+    """Gradients + metrics, optionally accumulated over `grad_accum`
+    microbatches (lax.scan over contiguous batch slices; activations for
+    only one microbatch live at a time, so peak HBM scales with
+    B/grad_accum). The loss is a mean over the batch, so averaging
+    microbatch gradients is exact; batch-nonlinear metrics (PSNR of the
+    batch-mean MSE) become means of per-microbatch values.
+
+    No reference equivalent — the reference is capped by what one
+    device's memory fits at batch 32 (train_model.py:887-894).
+    """
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    if grad_accum <= 1:
+        (_, metrics), grads = grad_fn(params, cfg, batch, iter_num, rng,
+                                      remat)
+        return grads, metrics
+
+    b = batch[0].shape[1]
+    if b % grad_accum:
+        raise ValueError(f"batch {b} not divisible by grad_accum "
+                         f"{grad_accum}")
+    mb = b // grad_accum
+
+    def split_mb(x):  # (T, B, ...) -> (G, T, B/G, ...)
+        return x.reshape(x.shape[0], grad_accum, mb,
+                         *x.shape[2:]).swapaxes(0, 1)
+
+    micro = tuple(split_mb(a) for a in batch)
+
+    def body(carry, xs):
+        g, mb_batch = xs
+        (_, metrics), grads = grad_fn(params, cfg, mb_batch, iter_num,
+                                      jax.random.fold_in(rng, g), remat)
+        g_acc, m_acc = carry
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+        m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+        return (g_acc, m_acc), None
+
+    # Microbatch 0 seeds the accumulator; the scan covers the rest.
+    mb0 = tuple(m[0] for m in micro)
+    (_, m0), g0 = grad_fn(params, cfg, mb0, iter_num,
+                          jax.random.fold_in(rng, 0), remat)
+    rest = tuple(m[1:] for m in micro)
+    (g_sum, m_sum), _ = jax.lax.scan(
+        body, (g0, m0), (jnp.arange(1, grad_accum), rest))
+    inv = 1.0 / grad_accum
+    grads = jax.tree_util.tree_map(lambda x: x * inv, g_sum)
+    metrics = jax.tree_util.tree_map(lambda x: x * inv, m_sum)
+    return grads, metrics
+
+
 def make_train_step(cfg: ModelConfig,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     remat: bool = False,
-                    spatial_parallel: bool = False):
+                    spatial_parallel: bool = False,
+                    grad_accum: int = 1):
     """Build the jitted train step.
 
     Signature: step(state, (images, actions, states), iter_num, rng)
@@ -81,9 +134,9 @@ def make_train_step(cfg: ModelConfig,
     """
 
     def train_step(state: TrainState, batch, iter_num, rng):
-        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, cfg, batch,
-                                      iter_num, rng, remat)
+        grads, metrics = _grads_and_metrics(state.params, cfg, batch,
+                                            iter_num, rng, remat,
+                                            grad_accum)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -126,7 +179,8 @@ def make_train_step(cfg: ModelConfig,
 def make_train_multi(cfg: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      mesh: Optional[Mesh] = None,
-                     remat: bool = False):
+                     remat: bool = False,
+                     grad_accum: int = 1):
     """K optimizer steps per dispatch: scan over a leading batch axis.
 
     Signature: multi(state, batches, iter0, rng) -> (state, metrics)
@@ -144,11 +198,10 @@ def make_train_multi(cfg: ModelConfig,
 
         def body(state, xs):
             k, batch = xs
-            grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-            (_, metrics), grads = grad_fn(
+            grads, metrics = _grads_and_metrics(
                 state.params, cfg, batch,
                 iter0 + k.astype(jnp.float32),
-                jax.random.fold_in(rng, k), remat)
+                jax.random.fold_in(rng, k), remat, grad_accum)
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)

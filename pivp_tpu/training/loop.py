@@ -80,9 +80,11 @@ def run_training(cfg: TrainConfig,
                     cfg.pretrained_state)
 
     train_step = ts_lib.make_train_step(mcfg, optimizer, mesh,
-                                        remat=cfg.remat)
+                                        remat=cfg.remat,
+                                        grad_accum=cfg.grad_accum)
     train_multi = (ts_lib.make_train_multi(mcfg, optimizer, mesh,
-                                           remat=cfg.remat)
+                                           remat=cfg.remat,
+                                           grad_accum=cfg.grad_accum)
                    if cfg.steps_per_call > 1 else None)
     eval_step = ts_lib.make_eval_step(mcfg, mesh)
 

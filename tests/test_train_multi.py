@@ -114,3 +114,58 @@ def test_prefetch_is_bit_identical(tmp_path):
         a = run(0, spc, f"off{spc}")
         b = run(2, spc, f"on{spc}")
         np.testing.assert_array_equal(a, b)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=G must produce the same parameter update as the full-
+    batch step (the loss is a batch mean, so averaging microbatch
+    gradients is exact). Uses feed-self rollout (schedsamp -1) so the
+    sampling rng cannot differ between the two paths."""
+    cfg = tiny_cfg(scheduled_sampling_k=-1.0)
+    opt = ts_lib.make_optimizer(1e-3)
+    b = 8
+
+    imgs, acts, stas = synthetic.generate_sequences(b, 4, 16, 16)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+    rng = jax.random.PRNGKey(9)
+
+    state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+
+    @jax.jit
+    def grads_full(params):
+        return ts_lib._grads_and_metrics(params, cfg, batch,
+                                         jnp.float32(0.0), rng,
+                                         remat=False, grad_accum=1)
+
+    @jax.jit
+    def grads_acc(params):
+        return ts_lib._grads_and_metrics(params, cfg, batch,
+                                         jnp.float32(0.0), rng,
+                                         remat=False, grad_accum=4)
+
+    g_full, m_full = grads_full(state.params)
+    g_acc, m_acc = grads_acc(state.params)
+
+    np.testing.assert_allclose(float(m_acc["loss"]),
+                               float(m_full["loss"]), rtol=1e-5)
+    # Gradients must agree to float reassociation noise (summing G
+    # quarter-batch reductions vs one full-batch reduction). Post-Adam
+    # params are NOT compared tightly: eps=1e-8 rsqrt amplifies this
+    # noise unboundedly for near-zero second moments.
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_full),
+                     jax.tree_util.tree_leaves(g_acc)):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = tiny_cfg(scheduled_sampling_k=-1.0)
+    opt = ts_lib.make_optimizer(1e-3)
+    imgs, acts, stas = synthetic.generate_sequences(6, 4, 16, 16)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+    state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = ts_lib.make_train_step(cfg, opt, mesh=None, grad_accum=4)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, batch, jnp.float32(0.0), jax.random.PRNGKey(0))

@@ -68,6 +68,16 @@ def bench_model(model_type: str, num_masks: int, batch: int,
         return jnp.mean(out["gen_images"].astype(jnp.float32))
 
     @jax.jit
+    def predict_digest_multi(params, images, actions, states, salts):
+        # K rollouts per device dispatch (lax.scan over salts): removes
+        # per-dispatch launch overhead entirely — the pure device rate.
+        def body(_, salt):
+            return 0, predict_digest(params, images, actions, states,
+                                     salt)
+        _, digests = jax.lax.scan(body, 0, salts)
+        return digests
+
+    @jax.jit
     def predict_frames(params, images, actions, states, salt):
         out = predictor.rollout(
             params, cfg, images + salt, actions, states,
@@ -80,7 +90,20 @@ def bench_model(model_type: str, num_masks: int, batch: int,
 
     frames_per_call = batch * (SEQ - CONTEXT)
 
-    # --- on-device rollout rate (async dispatch, digest fetch) ----------
+    # --- on-device rollout rate (K rollouts per dispatch) ---------------
+    salts = jnp.arange(rounds, dtype=jnp.float32) * 1e-6
+    np.asarray(predict_digest_multi(params, images, actions, states,
+                                    salts))          # compile + warmup
+    t0 = time.perf_counter()
+    d1 = predict_digest_multi(params, images, actions, states,
+                              salts + 1e-3)
+    d2 = predict_digest_multi(params, images, actions, states,
+                              salts + 2e-3)
+    _ = np.asarray(d1), np.asarray(d2)
+    dt = time.perf_counter() - t0
+    rollout_fps = 2 * rounds * frames_per_call / dt
+
+    # --- async per-dispatch rate (one rollout per device call) ----------
     float(predict_digest(params, images, actions, states,
                          jnp.float32(0.0)))          # compile + warmup
     t0 = time.perf_counter()
@@ -88,7 +111,7 @@ def bench_model(model_type: str, num_masks: int, batch: int,
                            jnp.float32(r) * 1e-6) for r in range(rounds)]
     _ = [float(o) for o in outs]
     dt = time.perf_counter() - t0
-    rollout_fps = rounds * frames_per_call / dt
+    dispatch_fps = rounds * frames_per_call / dt
 
     # --- end-to-end including uint8 frame download ----------------------
     np.asarray(predict_frames(params, images, actions, states,
@@ -105,6 +128,7 @@ def bench_model(model_type: str, num_masks: int, batch: int,
         "metric": f"{model_type} b{batch} inference rollout",
         "value": round(rollout_fps, 1),
         "unit": "predicted frames/s/chip",
+        "per_dispatch_frames_per_sec": round(dispatch_fps, 1),
         "e2e_frames_per_sec": round(e2e_fps, 1),
         "ms_per_rollout": round(1000.0 * batch * (SEQ - CONTEXT)
                                 / rollout_fps, 2),
