@@ -75,3 +75,44 @@ def test_spatial_parallel_rejects_undersized_shards():
     mesh = mesh_lib.make_mesh(model_parallel=2)
     with pytest.raises(ValueError, match="rows per shard"):
         ts_lib.make_train_step(cfg, opt, mesh, spatial_parallel=True)
+
+
+def test_spatial_parallel_4way_128x128_eval():
+    """4-way height sharding at 128x128 (2 data x 4 model on the 8
+    virtual devices): the deepest stage keeps 128/8/4 = 4 rows per shard
+    — exactly at the halo guard's floor — and the sharded feed-self
+    rollout must match the unsharded one through every halo exchange."""
+    cfg = ModelConfig(sequence_length=2, context_frames=1, num_masks=3,
+                      scheduled_sampling_k=-1.0, image_height=128,
+                      image_width=128)
+    imgs, acts, stas = synthetic.generate_sequences(2, 2, 128, 128)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+
+    mesh = mesh_lib.make_mesh(model_parallel=4)
+    assert mesh.shape[mesh_lib.MODEL_AXIS] == 4
+    # The guard must accept 4 rows/shard at the deepest stage.
+    opt = ts_lib.make_optimizer(1e-3)
+    ts_lib.make_train_step(cfg, opt, mesh, spatial_parallel=True)
+
+    from pivp_tpu.models import predictor
+
+    def gen(params, im, ac, st):
+        return predictor.rollout(params, cfg, im, ac, st,
+                                 jnp.float32(0.0), jax.random.PRNGKey(0),
+                                 train=False)["gen_images"]
+
+    params = predictor.init_params(jax.random.PRNGKey(0), cfg)
+    g1 = jax.jit(gen)(params, *batch)
+
+    img_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data", "model"))
+    vec_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sharded = (jax.device_put(batch[0], img_sh),
+               jax.device_put(batch[1], vec_sh),
+               jax.device_put(batch[2], vec_sh))
+    g2 = jax.jit(gen, in_shardings=(repl, img_sh, vec_sh, vec_sh))(
+        jax.device_put(params, repl), *sharded)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
