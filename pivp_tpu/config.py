@@ -204,6 +204,11 @@ class TrainConfig:
     # disappears; 1 elsewhere, where compile time dominates). Any other
     # value is passed to lax.scan verbatim.
     scan_unroll: int = 0
+    # Read sequences from disk per batch (mmap-backed lazy gather)
+    # instead of materializing the whole dataset in RAM up front (the
+    # reference behavior, train_model.py:813-834). Use for datasets that
+    # exceed host memory; peak host usage becomes ~one batch.
+    lazy_load: bool = False
     # Gradient accumulation: split each batch into N microbatches and
     # average their gradients (exact for the mean loss) — peak activation
     # HBM scales with batch/N, enabling large effective batches or high

@@ -64,6 +64,66 @@ def _squeeze_mid(x: np.ndarray) -> np.ndarray:
     return x[:, 0, :] if x.ndim == 3 and x.shape[1] == 1 else x
 
 
+class LazySequences:
+    """Array-like view over per-sequence .npy files that reads rows on
+    demand (memory-mapped open, copy only the gathered rows).
+
+    The reference — and `load_sequences` — materializes the ENTIRE
+    dataset in RAM up front (train_model.py:813-834), which caps dataset
+    size at host memory. This view supports exactly the operations the
+    training pipeline uses — `len` / `.shape[0]`, contiguous slicing
+    (train/val split), and fancy-index row gathers (batching) — so it
+    drops in for any of the three arrays while holding only the current
+    batch in memory.
+    """
+
+    def __init__(self, paths: List[str], squeeze: bool = False):
+        if not paths:
+            raise ValueError("Empty dataset")
+        self._paths = list(paths)
+        self._squeeze = squeeze
+        first = self._load(0)
+        self.shape = (len(self._paths),) + first.shape
+        self.dtype = first.dtype
+
+    def _load(self, i: int) -> np.ndarray:
+        x = np.load(self._paths[i], mmap_mode="r")
+        x = np.asarray(x, np.float32)
+        return _squeeze_mid(x) if self._squeeze else x
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            view = LazySequences.__new__(LazySequences)
+            view._paths = self._paths[idx]
+            view._squeeze = self._squeeze
+            view.shape = (len(view._paths),) + self.shape[1:]
+            view.dtype = self.dtype
+            return view
+        idx = np.asarray(idx)
+        if idx.ndim == 0:
+            return self._load(int(idx))
+        return np.stack([self._load(int(i)) for i in idx])
+
+
+def lazy_sequences(data_dir: str, limit: Optional[int] = None) -> Arrays:
+    """Deferred-read counterpart of `load_sequences`: returns three
+    LazySequences views honoring the same map.csv contract. Peak host
+    memory is one batch, not the dataset."""
+    rows = load_map_csv(data_dir)[1:]
+    if limit:
+        rows = rows[:limit]
+    return (  # type: ignore[return-value]
+        LazySequences([os.path.join(data_dir, r[2]) for r in rows]),
+        LazySequences([os.path.join(data_dir, r[3]) for r in rows],
+                      squeeze=True),
+        LazySequences([os.path.join(data_dir, r[4]) for r in rows],
+                      squeeze=True),
+    )
+
+
 def train_val_split(arrays: Arrays, split: float = 0.95
                     ) -> Tuple[Arrays, Arrays]:
     """Leading-fraction split, same as train_model.py:836-845."""

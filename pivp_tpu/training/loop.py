@@ -54,7 +54,9 @@ def run_training(cfg: TrainConfig,
     mcfg = cfg.model_config()
 
     if arrays is None:
-        arrays = dataset_lib.load_sequences(cfg.data_dir)
+        arrays = (dataset_lib.lazy_sequences(cfg.data_dir)
+                  if cfg.lazy_load
+                  else dataset_lib.load_sequences(cfg.data_dir))
     n_total = arrays[0].shape[0]
     train_arrays, val_arrays = dataset_lib.train_val_split(
         arrays, cfg.train_val_split)

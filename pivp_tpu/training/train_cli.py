@@ -88,6 +88,9 @@ from pivp_tpu.utils import logging_utils
 @click.option('--grad_accum', type=click.INT, default=1,
               help='Gradient-accumulation microbatches per step (exact '
                    'for the mean loss; peak HBM scales with batch/N).')
+@click.option('--lazy_load', type=click.INT, default=0,
+              help='Read sequences from disk per batch instead of '
+                   'loading the whole dataset into RAM.')
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
@@ -106,8 +109,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
          num_devices, remat, use_pallas, fused_cdna, u8_transfer,
-         steps_per_call, scan_unroll, prefetch, grad_accum, synthetic,
-         profile_dir, checkpointer, run_name):
+         steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
+         synthetic, profile_dir, checkpointer, run_name):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -137,7 +140,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call, scan_unroll=scan_unroll,
         prefetch=prefetch, grad_accum=grad_accum,
-        checkpointer=checkpointer,
+        lazy_load=bool(lazy_load), checkpointer=checkpointer,
     )
 
     mcfg = cfg.model_config()

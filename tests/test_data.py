@@ -95,3 +95,57 @@ def test_eval_batches_pads_final():
     last_imgs, n = batches[-1]
     assert n == 1
     assert (last_imgs[0][:, 0] == last_imgs[0][:, 1]).all()
+
+
+def test_lazy_sequences_match_eager(tmp_path):
+    """LazySequences must be observationally identical to the in-RAM
+    arrays through every pipeline operation: split, batcher gather,
+    eval padding."""
+    from pivp_tpu.data import synthetic
+
+    d = str(tmp_path / "proc")
+    synthetic.write_processed_dir(d, 7, 4, 16, 16, seed=3)
+    eager = dataset.load_sequences(d)
+    lazy = dataset.lazy_sequences(d)
+
+    assert lazy[0].shape == eager[0].shape
+    assert lazy[1].shape == eager[1].shape
+
+    et, ev = dataset.train_val_split(eager, 0.7)
+    lt, lv = dataset.train_val_split(lazy, 0.7)
+    assert lt[0].shape[0] == et[0].shape[0]
+    assert lv[0].shape[0] == ev[0].shape[0]
+
+    be = dataset.EpochBatcher(et, 3, seed=1)
+    bl = dataset.EpochBatcher(lt, 3, seed=1)
+    for _ in range(5):
+        for a, b in zip(be.next(), bl.next()):
+            np.testing.assert_array_equal(a, b)
+    assert be.epoch == bl.epoch
+
+    for (ba, na), (bb, nb) in zip(dataset.eval_batches(ev, 2),
+                                  dataset.eval_batches(lv, 2)):
+        assert na == nb
+        for a, b in zip(ba, bb):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_lazy_load_trains(tmp_path):
+    """End-to-end: --lazy_load training equals the in-memory path."""
+    from pivp_tpu.config import TrainConfig
+    from pivp_tpu.data import synthetic
+    from pivp_tpu.training import loop
+
+    d = str(tmp_path / "proc")
+    synthetic.write_processed_dir(d, 8, 4, 16, 16, seed=2)
+
+    def run(lazy, tag):
+        cfg = TrainConfig(
+            data_dir=d, num_iterations=4, batch_size=4,
+            sequence_length=4, context_frames=2, num_masks=3,
+            train_val_split=0.75, validation_interval=1,
+            save_interval=100, output_dir=str(tmp_path / tag),
+            image_height=16, image_width=16, lazy_load=lazy)
+        return np.asarray(loop.run_training(cfg)["global_losses"])
+
+    np.testing.assert_array_equal(run(False, "eager"), run(True, "lazy"))
