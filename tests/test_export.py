@@ -74,3 +74,59 @@ def test_export_cli(tmp_path):
     frames = np.asarray(serve(images, actions, state0))
     assert frames.shape == (2, 2, 16, 16, 3)
     assert frames.dtype == np.uint8
+
+
+def test_http_serving_example(tmp_path):
+    """examples/serve_http.py serves an exported artifact end to end:
+    health check, a predict round-trip matching the live function, and a
+    400 on malformed input."""
+    import io
+    import sys
+    import threading
+    import urllib.request
+    import urllib.error
+
+    sys.path.insert(0, "examples")
+    import serve_http
+
+    cfg = tiny_cfg()
+    b = 2
+    params = predictor.init_params(jax.random.PRNGKey(4), cfg)
+    path = str(tmp_path / "serve.jaxexport")
+    export_lib.export_serving_artifact(params, cfg, b, path)
+
+    httpd = serve_http.make_server(path, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        assert urllib.request.urlopen(
+            base + "/healthz").read() == b"ok"
+
+        imgs, acts, stas = synthetic.generate_sequences(
+            b, cfg.sequence_length, 16, 16)
+        images, actions, states = dataset_lib.to_time_major(
+            imgs, acts, stas)
+        payload = io.BytesIO()
+        np.savez(payload, images=images[:cfg.context_frames],
+                 actions=actions[:-1], state0=states[0])
+        resp = urllib.request.urlopen(urllib.request.Request(
+            base + "/predict", data=payload.getvalue(), method="POST"))
+        with np.load(io.BytesIO(resp.read())) as z:
+            frames = z["frames"]
+
+        live = export_lib.make_serve_fn(params, cfg, b)
+        want = np.asarray(jax.jit(live)(
+            jnp.asarray(images[:cfg.context_frames]),
+            jnp.asarray(actions[:-1]), jnp.asarray(states[0])))
+        np.testing.assert_array_equal(frames, want)
+
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                base + "/predict", data=b"not-an-npz", method="POST"))
+            raise AssertionError("malformed input must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
