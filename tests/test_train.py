@@ -193,3 +193,30 @@ def test_orbax_checkpointer_save_and_resume(tmp_path):
     cfg2 = TrainConfig(num_iterations=7, **base)
     r2 = loop.run_training(cfg2, arrays=arrays, run_name="resume-run")
     assert int(r2["state"].step) == 7
+
+
+def test_sharded_grad_accum_matches_single_device():
+    """grad_accum composed with dp sharding: the microbatch reshape
+    splits the sharded batch axis (T, B) -> (G, T, B/G); GSPMD must keep
+    each microbatch sharded over data and produce the same loss/params
+    as the unsharded accumulated step."""
+    cfg = tiny_cfg(scheduled_sampling_k=-1.0)
+    opt = ts_lib.make_optimizer(1e-3)
+    batch = make_batch(cfg, batch=16)
+
+    state1 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step1 = ts_lib.make_train_step(cfg, opt, mesh=None, grad_accum=2)
+    s1, m1 = step1(state1, batch, jnp.float32(0.0), jax.random.PRNGKey(1))
+
+    mesh = mesh_lib.make_mesh()
+    state2 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step2 = ts_lib.make_train_step(cfg, opt, mesh, grad_accum=2)
+    s2, m2 = step2(state2, mesh_lib.shard_batch(mesh, batch),
+                   jnp.float32(0.0), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
