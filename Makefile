@@ -1,6 +1,6 @@
 .PHONY: data train predict visualization test lint clean bench download \
 	test_environment requirements create_environment sync_data_to_s3 \
-	sync_data_from_s3
+	sync_data_from_s3 bench_matrix bench_inference convergence native
 
 # Build orchestration with the same public targets as the reference
 # Makefile (/root/reference/Makefile:27-79), TPU-native entry points.
@@ -71,6 +71,18 @@ lint:
 ## Benchmark (single JSON line)
 bench:
 	$(PYTHON_INTERPRETER) bench.py
+
+## Benchmark matrix over the CDNA/DNA/STP configs
+bench_matrix:
+	$(PYTHON_INTERPRETER) tools/bench_matrix.py
+
+## Inference/serving throughput benchmark
+bench_inference:
+	$(PYTHON_INTERPRETER) tools/bench_inference.py
+
+## Loss-convergence study (regenerates notebooks/4.0-loss-convergence.md)
+convergence:
+	$(PYTHON_INTERPRETER) tools/convergence_study.py
 
 ## Build the native C++ components (TFRecord scanner)
 native:

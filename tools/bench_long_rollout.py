@@ -59,9 +59,20 @@ def bench(tag: str, seq: int, batch: int, unroll: int, remat: bool
         jnp.asarray, tuple(stack(a) for a in (imgs, acts, stas)))
 
     t_c = time.perf_counter()
-    state, m = multi(state, batches, jnp.float32(0.0),
-                     jax.random.PRNGKey(1))
-    float(np.asarray(m["loss"])[-1])
+    try:
+        state, m = multi(state, batches, jnp.float32(0.0),
+                         jax.random.PRNGKey(1))
+        float(np.asarray(m["loss"])[-1])
+    except Exception as e:
+        msg = str(e)
+        oom = "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+        print(json.dumps({
+            "metric": f"CDNA b{batch} T{seq} {tag}",
+            "value": None, "unit": "frames/s/chip",
+            "oom": oom,
+            "error": msg.splitlines()[0][:200],
+        }), flush=True)
+        return
     compile_s = time.perf_counter() - t_c
 
     t0 = time.perf_counter()
