@@ -325,10 +325,16 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh):
             if cfg.u8_transfer:
                 stacked = (_quantize_images(stacked[0]), stacked[1],
                            stacked[2])
+            # Start the host->device transfer here (device_put is
+            # async): on the prefetch thread it overlaps the previous
+            # call's compute — the upload is the dominant per-call cost
+            # on tunnel-attached devices.
             if mesh.size > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 stacked = jax.device_put(stacked, NamedSharding(
                     mesh, P(None, None, mesh_lib.DATA_AXIS)))
+            else:
+                stacked = jax.device_put(stacked)
             yield stacked, k, new_epoch, batcher.epoch
             itr += k
         else:
