@@ -69,7 +69,10 @@ def main() -> None:
                       sequence_length=SEQ, context_frames=CONTEXT,
                       scheduled_sampling_k=900.0,
                       compute_dtype="bfloat16", use_pallas=True,
-                      scan_unroll=SEQ - 1)
+                      scan_unroll=SEQ - 1,
+                      # bf16 gate math: -8.6% step time, losses to 3 sig
+                      # figs (the 'auto' TPU default; see BENCHMARKS.md)
+                      lstm_gate_compute="compute")
     mesh = mesh_lib.make_mesh()
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)

@@ -129,6 +129,8 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     """
     relu = jax.nn.relu
     fb = cfg.forget_bias
+    gd = (jnp.float32 if cfg.lstm_gate_compute == "float32"
+          else cfg.dtype)
     eps = cfg.layer_norm_eps
     s1, s2, s3, s4, s5, s6, s7 = lstm_states
 
@@ -137,16 +139,16 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     enc0 = relu(layers.layer_norm_flat(params["norm_enc0"], x, eps))
 
     # Stage 1: lstm1 -> LN -> lstm2 -> LN -> enc1 conv 3x3 s2.
-    s1, h = convlstm.conv_lstm(params["lstm1"], s1, enc0, fb)
+    s1, h = convlstm.conv_lstm(params["lstm1"], s1, enc0, fb, gd)
     h1 = layers.layer_norm_flat(params["hidden1"], h, eps)
-    s2, h = convlstm.conv_lstm(params["lstm2"], s2, h1, fb)
+    s2, h = convlstm.conv_lstm(params["lstm2"], s2, h1, fb, gd)
     h2 = layers.layer_norm_flat(params["hidden2"], h, eps)
     enc1 = relu(layers.conv2d(params["enc1"], h2, stride=2))
 
     # Stage 2: lstm3 -> LN -> lstm4 -> LN -> enc2 conv 3x3 s2.
-    s3, h = convlstm.conv_lstm(params["lstm3"], s3, enc1, fb)
+    s3, h = convlstm.conv_lstm(params["lstm3"], s3, enc1, fb, gd)
     h3 = layers.layer_norm_flat(params["hidden3"], h, eps)
-    s4, h = convlstm.conv_lstm(params["lstm4"], s4, h3, fb)
+    s4, h = convlstm.conv_lstm(params["lstm4"], s4, h3, fb, gd)
     h4 = layers.layer_norm_flat(params["hidden4"], h, eps)
     enc2 = relu(layers.conv2d(params["enc2"], h4, stride=2))
 
@@ -162,7 +164,7 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     enc3 = relu(layers.conv2d(params["enc3"], x, stride=1, padding=0))
 
     # Stage 4: lstm5 -> LN(hidden5) -> enc4 deconv up to H/4.
-    s5, h = convlstm.conv_lstm(params["lstm5"], s5, enc3, fb)
+    s5, h = convlstm.conv_lstm(params["lstm5"], s5, enc3, fb, gd)
     h5 = layers.layer_norm_flat(params["hidden5"], h, eps)
     (r0, r1, r2, _) = _resolutions(cfg)
     enc4 = relu(layers.deconv2d(params["enc4"], h5, stride=2, padding=1,
@@ -170,14 +172,14 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
 
     # Stage 5: lstm6 -> LN -> skip(enc1) -> enc5 deconv up to H/2
     # (skip connections: train_model.py:569-576, 600-601).
-    s6, h = convlstm.conv_lstm(params["lstm6"], s6, enc4, fb)
+    s6, h = convlstm.conv_lstm(params["lstm6"], s6, enc4, fb, gd)
     h6 = layers.layer_norm_flat(params["hidden6"], h, eps)
     x = jnp.concatenate([h6, enc1], axis=-1)
     enc5 = relu(layers.deconv2d(params["enc5"], x, stride=2, padding=1,
                                 outsize=r1))
 
     # Stage 6: lstm7 -> LN -> skip(enc0) -> enc6 deconv up to H + LN.
-    s7, h = convlstm.conv_lstm(params["lstm7"], s7, enc5, fb)
+    s7, h = convlstm.conv_lstm(params["lstm7"], s7, enc5, fb, gd)
     h7 = layers.layer_norm_flat(params["hidden7"], h, eps)
     x = jnp.concatenate([h7, enc0], axis=-1)
     x = layers.deconv2d(params["enc6"], x, stride=2, padding=1, outsize=r0)

@@ -45,19 +45,27 @@ def zero_state(batch: int, height: int, width: int, out_ch: int,
 
 
 def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
-              x: jnp.ndarray, forget_bias: float = 1.0
-              ) -> Tuple[LSTMState, jnp.ndarray]:
-    """One ConvLSTM step. Returns (new_state, h)."""
+              x: jnp.ndarray, forget_bias: float = 1.0,
+              gate_dtype=jnp.float32) -> Tuple[LSTMState, jnp.ndarray]:
+    """One ConvLSTM step. Returns (new_state, h).
+
+    `gate_dtype` is the precision of the gate nonlinearities. float32
+    (default) matches the reference numerics exactly; under bf16 compute
+    the carry is re-quantized to bf16 every step regardless (the conv
+    consumes it in compute dtype), so bf16 gate math changes little
+    while halving the HBM traffic of the gate fusions — select it with
+    ModelConfig.lstm_gate_compute on TPU."""
     c, h = state
     inputs_h = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
     gates = layers.conv2d(params, inputs_h, stride=1)
     # Gate order (j, i, f, o) — reference train_model.py:269.
     j, i, f, o = jnp.split(gates, 4, axis=-1)
-    cf = c.astype(jnp.float32)
-    new_c = (cf * jax.nn.sigmoid(f.astype(jnp.float32) + forget_bias)
-             + jax.nn.sigmoid(i.astype(jnp.float32))
-             * jnp.tanh(j.astype(jnp.float32)))
-    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o.astype(jnp.float32))
+    cf = c.astype(gate_dtype)
+    new_c = (cf * jax.nn.sigmoid(f.astype(gate_dtype)
+                                 + jnp.asarray(forget_bias, gate_dtype))
+             + jax.nn.sigmoid(i.astype(gate_dtype))
+             * jnp.tanh(j.astype(gate_dtype)))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o.astype(gate_dtype))
     new_c = new_c.astype(x.dtype)
     new_h = new_h.astype(x.dtype)
     return LSTMState(new_c, new_h), new_h

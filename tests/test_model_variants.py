@@ -95,3 +95,45 @@ def test_bf16_rollout_close_to_f32():
 def test_invalid_compute_dtype_rejected():
     with pytest.raises(ValueError, match="compute_dtype"):
         tiny_cfg(compute_dtype="float99")
+
+
+def test_lstm_gate_compute_variants():
+    """bf16 gate math must run and stay close to the f32-gate rollout;
+    'auto' resolves with the compute dtype; bad values are rejected."""
+    import pytest
+
+    from pivp_tpu.config import TrainConfig
+    from pivp_tpu.data import dataset as dataset_lib
+    from pivp_tpu.data import synthetic
+
+    imgs, acts, stas = synthetic.generate_sequences(2, 4, 16, 16)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+
+    def roll(gate):
+        cfg = ModelConfig(image_height=16, image_width=16,
+                          sequence_length=4, context_frames=2,
+                          num_masks=3, compute_dtype="bfloat16",
+                          lstm_gate_compute=gate)
+        params = predictor.init_params(jax.random.PRNGKey(0), cfg)
+        out = predictor.rollout(params, cfg, *map(jnp.asarray, batch),
+                                jnp.float32(0.0), jax.random.PRNGKey(0),
+                                train=False)
+        return float(out["loss"]), np.asarray(out["gen_images"],
+                                              np.float32)
+
+    l32, g32 = roll("float32")
+    lc, gc = roll("compute")
+    assert np.isfinite(lc)
+    np.testing.assert_allclose(lc, l32, rtol=0.05)
+    np.testing.assert_allclose(gc, g32, atol=0.05)
+
+    with pytest.raises(ValueError, match="lstm_gate_compute"):
+        ModelConfig(image_height=16, image_width=16, sequence_length=4,
+                    context_frames=2, num_masks=3,
+                    lstm_gate_compute="bf16")
+
+    # TrainConfig auto resolution follows the resolved compute dtype.
+    m = TrainConfig(compute_dtype="float32").model_config()
+    assert m.lstm_gate_compute == "float32"
+    m = TrainConfig(compute_dtype="bfloat16").model_config()
+    assert m.lstm_gate_compute == "compute"

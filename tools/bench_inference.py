@@ -53,7 +53,8 @@ def bench_model(model_type: str, num_masks: int, batch: int,
                       sequence_length=SEQ, context_frames=CONTEXT,
                       scheduled_sampling_k=-1.0,
                       compute_dtype="bfloat16", use_pallas=True,
-                      scan_unroll=SEQ - 1)
+                      scan_unroll=SEQ - 1,
+                      lstm_gate_compute="compute")
     params = predictor.init_params(jax.random.PRNGKey(0), cfg)
     imgs, acts, stas = synthetic.generate_sequences(batch, SEQ)
     images, actions, states = (

@@ -44,7 +44,8 @@ def bench(tag: str, seq: int, batch: int, unroll: int, remat: bool
                       sequence_length=seq, context_frames=2,
                       scheduled_sampling_k=900.0,
                       compute_dtype="bfloat16", use_pallas=True,
-                      scan_unroll=unroll)
+                      scan_unroll=unroll,
+                      lstm_gate_compute="compute")
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
     multi = ts_lib.make_train_multi(cfg, opt, mesh=None, remat=remat)

@@ -44,7 +44,8 @@ def bench_config(tag, model_type, num_masks, batch, k_sched):
                       scheduled_sampling_k=k_sched,
                       compute_dtype="bfloat16",
                       use_pallas=model_type != "STP",
-                      scan_unroll=SEQ - 1)
+                      scan_unroll=SEQ - 1,
+                      lstm_gate_compute="compute")
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
     multi = ts_lib.make_train_multi(cfg, opt, mesh=None)
