@@ -76,13 +76,26 @@ def make_server(artifact_path: str, host: str = "127.0.0.1",
                     args = (np.asarray(z["images"], np.float32),
                             np.asarray(z["actions"], np.float32),
                             np.asarray(z["state0"], np.float32))
+            except Exception as e:  # undecodable payload -> client error
+                self._reply(400, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json")
+                return
+            try:
                 with lock:
                     frames = np.asarray(serve(*args))
                 out = io.BytesIO()
                 np.savez_compressed(out, frames=frames)
                 self._reply(200, out.getvalue())
-            except Exception as e:  # client errors -> 400 with detail
+            except (TypeError, ValueError) as e:
+                # Shape/dtype mismatch vs the artifact signature — the
+                # client sent well-formed npz with the wrong tensors.
                 self._reply(400, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json")
+            except Exception as e:  # device OOM, backend mismatch, ...
+                logger.exception("predict failed")
+                self._reply(500, json.dumps(
                     {"error": f"{type(e).__name__}: {e}"}).encode(),
                     "application/json")
 

@@ -31,12 +31,14 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def make_serve_fn(params, cfg, batch: int):
-    """Build serve(images, actions, states) with params closed over."""
+def make_serve_fn(params, cfg):
+    """Build serve(images, actions, state0) with params closed over.
+    Shapes (including batch) are fixed later by the export specs."""
     import jax
     import jax.numpy as jnp
 
     from pivp_tpu.models import predictor
+    from pivp_tpu.ops import transforms
 
     ctx = cfg.context_frames
     t = cfg.sequence_length
@@ -58,8 +60,7 @@ def make_serve_fn(params, cfg, batch: int):
             params, cfg, full, acts, stas, jnp.float32(0.0),
             jax.random.PRNGKey(0), train=False)
         gen = out["gen_images"][ctx - 1:]
-        return jnp.clip(gen.astype(jnp.float32) * 255.0 + 0.5,
-                        0, 255).astype(jnp.uint8)
+        return transforms.quantize_frames_u8(gen)
 
     return serve
 
@@ -71,7 +72,7 @@ def export_serving_artifact(params, cfg, batch: int, path: str,
     import jax
     from jax import export as jax_export
 
-    serve = make_serve_fn(params, cfg, batch)
+    serve = make_serve_fn(params, cfg)
     ctx = cfg.context_frames
     t = cfg.sequence_length
     specs = (
@@ -101,8 +102,12 @@ def load_serving_artifact(path: str):
     with open(path, "rb") as f:
         exported = jax_export.deserialize(bytearray(f.read()))
 
-    def call(images, actions, states):
-        return jax.jit(exported.call)(images, actions, states)
+    # Build the jitted wrapper ONCE — constructing it per call would
+    # defeat jit's dispatch cache on the serving hot path.
+    jitted = jax.jit(exported.call)
+
+    def call(images, actions, state0):
+        return jitted(images, actions, state0)
 
     call.exported = exported
     return call

@@ -336,3 +336,19 @@ def mask_composite(prev_image: jnp.ndarray, transformed: jnp.ndarray,
     out = out + jnp.einsum("bmhwc,bhwm->bhwc", transformed,
                            masks[..., 1:].astype(transformed.dtype))
     return out, masks
+
+
+# ---------------------------------------------------------------------------
+# Frame quantization (the uint8 wire/storage format)
+# ---------------------------------------------------------------------------
+
+def quantize_frames_u8(frames: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float frames -> uint8 with round-half-up and clipping.
+
+    THE one definition of the uint8 frame format, shared by the serving
+    export (inference/export.py), the inference benchmark, and mirrored
+    by the host-side numpy quantizer in training/loop.py (u8_transfer) —
+    keep them in lockstep so artifacts and benchmarks measure identical
+    pixel values."""
+    return jnp.clip(frames.astype(jnp.float32) * 255.0 + 0.5,
+                    0.0, 255.0).astype(jnp.uint8)

@@ -328,12 +328,16 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh):
             # Start the host->device transfer here (device_put is
             # async): on the prefetch thread it overlaps the previous
             # call's compute — the upload is the dominant per-call cost
-            # on tunnel-attached devices.
+            # on tunnel-attached devices. Only with u8_transfer: up to
+            # prefetch+1 staged payloads live in HBM at once, which is
+            # fine for uint8 (~100 MB each at the bench config) but can
+            # RESOURCE_EXHAUSTED with f32 frames (~400 MB each, ~3.5 GB
+            # at T=30) — those transfer on dequeue as before.
             if mesh.size > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 stacked = jax.device_put(stacked, NamedSharding(
                     mesh, P(None, None, mesh_lib.DATA_AXIS)))
-            else:
+            elif cfg.u8_transfer:
                 stacked = jax.device_put(stacked)
             yield stacked, k, new_epoch, batcher.epoch
             itr += k
@@ -350,7 +354,10 @@ class _Prefetcher:
     """Bounded-queue iterator: a daemon thread drains `gen` ahead of the
     consumer (depth items max). Exceptions re-raise on the consumer side;
     order is exactly the generator's, so training is bit-identical with
-    prefetching on or off (tested)."""
+    prefetching on or off (tested). `close()` unblocks and retires the
+    producer — the consumer must call it when leaving the loop early
+    (nan-guard abort, exception), else the thread would pin queued
+    device buffers for the rest of the process."""
 
     _DONE = object()
 
@@ -359,32 +366,63 @@ class _Prefetcher:
         import threading
 
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(gen,), daemon=True,
             name="pivp-input-prefetch")
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, gen):
         try:
             for item in gen:
-                self._q.put(item)
-            self._q.put(self._DONE)
+                if not self._put(item):
+                    return
+            self._put(self._DONE)
         except BaseException as e:  # surface on the consumer thread
-            self._q.put(e)
+            self._put(e)
+
+    def close(self) -> None:
+        """Stop the producer and drop queued payloads (frees any device
+        buffers it staged)."""
+        import queue
+
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self.close()
 
 
 def _quantize_images(images: np.ndarray) -> np.ndarray:
     """[0,1] float frames -> uint8 for the host->device transfer
-    (dequantized on device in rollout; see TrainConfig.u8_transfer)."""
+    (dequantized on device in rollout; see TrainConfig.u8_transfer).
+    Numpy mirror of ops/transforms.quantize_frames_u8 (kept host-side on
+    purpose — it runs on the prefetch thread); same rounding/clipping."""
     return np.clip(images * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
 
 

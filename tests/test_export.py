@@ -34,7 +34,7 @@ def test_export_roundtrip_matches_live(tmp_path):
     actions = jnp.asarray(actions[:-1])
     state0 = jnp.asarray(states[0])
 
-    live = export_lib.make_serve_fn(params, cfg, b)
+    live = export_lib.make_serve_fn(params, cfg)
     want = np.asarray(jax.jit(live)(ctx_images, actions, state0))
 
     serve = export_lib.load_serving_artifact(path)
@@ -116,7 +116,7 @@ def test_http_serving_example(tmp_path):
         with np.load(io.BytesIO(resp.read())) as z:
             frames = z["frames"]
 
-        live = export_lib.make_serve_fn(params, cfg, b)
+        live = export_lib.make_serve_fn(params, cfg)
         want = np.asarray(jax.jit(live)(
             jnp.asarray(images[:cfg.context_frames]),
             jnp.asarray(actions[:-1]), jnp.asarray(states[0])))

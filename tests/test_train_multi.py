@@ -169,3 +169,33 @@ def test_grad_accum_rejects_indivisible_batch():
     step = ts_lib.make_train_step(cfg, opt, mesh=None, grad_accum=4)
     with pytest.raises(ValueError, match="divisible"):
         step(state, batch, jnp.float32(0.0), jax.random.PRNGKey(0))
+
+
+def test_prefetch_thread_retired_after_nan_abort(tmp_path):
+    """An aborting run (nan guard) must not leave the prefetch producer
+    blocked on its queue pinning staged device buffers."""
+    import gc
+    import threading
+    import time
+
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(8, 4, 16, 16)
+    cfg = TrainConfig(
+        num_iterations=40, batch_size=4, sequence_length=4,
+        context_frames=2, num_masks=3, train_val_split=1.0,
+        validation_interval=100, save_interval=100,
+        output_dir=str(tmp_path), image_height=16, image_width=16,
+        steps_per_call=3, prefetch=2,
+        learning_rate=1e18)  # guaranteed divergence
+    with pytest.raises(FloatingPointError):
+        loop.run_training(cfg, arrays=arrays)
+    gc.collect()
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "pivp-input-prefetch" and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.2)
+    assert not alive, "prefetch producer still alive after abort"

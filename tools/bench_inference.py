@@ -41,6 +41,7 @@ from pivp_tpu.config import ModelConfig  # noqa: E402
 from pivp_tpu.data import dataset as dataset_lib  # noqa: E402
 from pivp_tpu.data import synthetic  # noqa: E402
 from pivp_tpu.models import predictor  # noqa: E402
+from pivp_tpu.ops import transforms  # noqa: E402
 
 SEQ, CONTEXT = 10, 2
 
@@ -86,8 +87,7 @@ def bench_model(model_type: str, num_masks: int, batch: int,
         # gen_images: (T-1, B, H, W, C); the predicted frames are the
         # last T-context entries (rollout convention, predictor.py:307).
         gen = out["gen_images"][CONTEXT - 1:]
-        return jnp.clip(gen.astype(jnp.float32) * 255.0 + 0.5,
-                        0, 255).astype(jnp.uint8)
+        return transforms.quantize_frames_u8(gen)
 
     frames_per_call = batch * (SEQ - CONTEXT)
 
