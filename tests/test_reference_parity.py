@@ -151,3 +151,32 @@ def test_quirk_flags_change_output():
                                dna_border_zero=True))
     assert np.max(np.abs(plain - scrambled)) > 1e-5
     assert np.max(np.abs(plain - bordered)) > 1e-5
+
+
+# -- non-default geometry: the converter's LN-reshape / CHW-flat Linear
+# permutations are resolution-dependent; a 64x64-only gate could hide a
+# hardcoded-size bug ------------------------------------------------------
+
+def test_intent_parity_32x32(tmp_path):
+    cfg = ModelConfig(model_type="CDNA", num_masks=10,
+                      image_height=32, image_width=32)
+    params = _fixture_params(cfg)
+    rng = np.random.RandomState(11)
+    images = rng.uniform(0.0, 1.0, (T, B, 32, 32, 3)).astype(np.float32)
+    actions = rng.uniform(-1.0, 1.0, (T, B, 5)).astype(np.float32)
+    states = rng.uniform(-1.0, 1.0, (T, B, 5)).astype(np.float32)
+
+    ckpt = str(tmp_path / "ref_layout.npz")
+    export_reference_npz(ckpt, cfg, params)
+    oracle = ChainerOracle(ckpt, model_type="CDNA", num_masks=10,
+                           use_state=True, context_frames=2,
+                           literal_quirks=False)
+    ref = oracle.rollout(np.transpose(images, (0, 1, 4, 2, 3)),
+                         actions, states)
+    out = predictor.predict(params, cfg, jnp.asarray(images),
+                            jnp.asarray(actions), jnp.asarray(states))
+    gen = np.asarray(out["gen_images"])
+    ref_gen = np.transpose(ref["gen_images"], (0, 1, 3, 4, 2))
+    delta, img_diff = _assert_parity(out, ref, gen, ref_gen)
+    print(f"[parity:CDNA:32x32] max dPSNR={delta:.2e} dB, "
+          f"max |dI|={img_diff:.2e}")
