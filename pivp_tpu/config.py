@@ -135,10 +135,13 @@ class ModelConfig:
         if self.model_type == "DNA" and self.num_masks != 1:
             # reference: train_model.py:389-390
             raise ValueError("Only one mask is supported for DNA model.")
-        if self.compute_dtype not in ("float32", "bfloat16", "float16"):
+        if self.compute_dtype not in ("float32", "bfloat16", "float16",
+                                      "float64"):
+            # float64 is the numerics-debug path (requires
+            # jax_enable_x64; used by the training-parity gate).
             raise ValueError(
-                f"compute_dtype must be float32/bfloat16/float16, got "
-                f"{self.compute_dtype!r}")
+                f"compute_dtype must be float32/bfloat16/float16/float64, "
+                f"got {self.compute_dtype!r}")
         if self.lstm_gate_compute not in ("float32", "compute"):
             raise ValueError(
                 f"lstm_gate_compute must be float32/compute, got "
@@ -213,9 +216,13 @@ class TrainConfig:
     # Fused CDNA+composite evaluation (see ModelConfig.fused_cdna).
     fused_cdna: bool = True
     # Optimizer steps executed per device dispatch (amortizes host/tunnel
-    # latency; per-iteration metrics are still recorded). 1 = reference
-    # behavior of one dispatch per iteration.
-    steps_per_call: int = 1
+    # latency; per-iteration metrics are still recorded, and epoch
+    # bookkeeping splits metric arrays at the exact step). 0 = auto:
+    # 25 on TPU backends (clamped to epoch/run length — without this a
+    # remote-attached TPU pays ~50 ms RTT per ~40 ms step, halving
+    # out-of-box throughput), 1 elsewhere. 1 = reference behavior of one
+    # dispatch per iteration.
+    steps_per_call: int = 0
     # Time-scan unroll: 0 = auto (FULL unroll on TPU — measured 81 -> 44
     # ms/step at the bench config because the scan's residual stacking
     # disappears; 1 elsewhere, where compile time dominates). Any other

@@ -66,7 +66,7 @@ def _squeeze_mid(x: np.ndarray) -> np.ndarray:
 
 class LazySequences:
     """Array-like view over per-sequence .npy files that reads rows on
-    demand (memory-mapped open, copy only the gathered rows).
+    demand (one plain file read per gathered sequence).
 
     The reference — and `load_sequences` — materializes the ENTIRE
     dataset in RAM up front (train_model.py:813-834), which caps dataset
@@ -87,8 +87,10 @@ class LazySequences:
         self.dtype = first.dtype
 
     def _load(self, i: int) -> np.ndarray:
-        x = np.load(self._paths[i], mmap_mode="r")
-        x = np.asarray(x, np.float32)
+        # Each file is ONE sequence and is consumed whole, so a plain
+        # read is right (a memmap here would be fully copied immediately
+        # anyway, buying nothing but a transient open file handle).
+        x = np.load(self._paths[i]).astype(np.float32, copy=False)
         return _squeeze_mid(x) if self._squeeze else x
 
     def __len__(self) -> int:

@@ -211,8 +211,10 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
             scramble=cfg.chainer_mask_scramble)
 
     # State predictor fed back each step (train_model.py:730-731).
-    gen_state = layers.dense(params["state_pred"],
-                             state_action.astype(jnp.float32))
+    gen_state = layers.dense(
+        params["state_pred"],
+        state_action.astype(jnp.promote_types(state_action.dtype,
+                                              jnp.float32)))
 
     new_states = (s1, s2, s3, s4, s5, s6, s7)
     encs = (enc0, enc1, enc2, enc3, enc4, enc5, enc6, enc7) if capture \
@@ -244,6 +246,9 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     """
     t_total, batch = images.shape[0], images.shape[1]
     dtype = cfg.dtype
+    # State/metric accumulation dtype: f32, widened to f64 on the
+    # numerics-debug path (compute_dtype='float64' under jax_enable_x64).
+    sdt = jnp.promote_types(jnp.float32, dtype)
     if jnp.issubdtype(images.dtype, jnp.integer):
         # uint8 host->device transfer path: dequantize on device (the
         # robot-push frames are uint8/255 at the source, so this is
@@ -287,7 +292,7 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
         prev_image = jnp.where(t < cfg.context_frames, gt_image, candidate)
 
         state_action = jnp.concatenate(
-            [action, current_state], axis=-1).astype(jnp.float32)
+            [action, current_state], axis=-1).astype(sdt)
 
         step = functools.partial(forward_step, capture=capture)
         if remat:
@@ -300,9 +305,9 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     init_carry = (
         init_lstm_states(cfg, batch, dtype),
         jnp.zeros_like(images_c[0]),
-        states[0].astype(jnp.float32),
+        states[0].astype(sdt),
     )
-    xs = (ts, images_c[:-1], actions[:-1].astype(jnp.float32), step_keys)
+    xs = (ts, images_c[:-1], actions[:-1].astype(sdt), step_keys)
     _, outs = jax.lax.scan(scan_step, init_carry, xs,
                            unroll=cfg.scan_unroll)
 
@@ -311,9 +316,9 @@ def rollout(params: Params, cfg: ModelConfig, images: jnp.ndarray,
 
     # --- losses (train_model.py:736-764) --------------------------------
     ctx = cfg.context_frames
-    true_imgs = images[ctx:].astype(jnp.float32)
-    pred_imgs = gen_images[ctx - 1:].astype(jnp.float32)
-    true_states = states[ctx:].astype(jnp.float32)
+    true_imgs = images[ctx:].astype(sdt)
+    pred_imgs = gen_images[ctx - 1:].astype(sdt)
+    true_states = states[ctx:].astype(sdt)
     pred_states = gen_states[ctx - 1:]
 
     # Per-frame reconstruction cost and PSNR (vmap over time).

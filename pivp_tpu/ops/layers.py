@@ -136,9 +136,10 @@ def layer_norm_flat_init(shape: Tuple[int, ...], dtype=jnp.float32) -> Params:
 def layer_norm_flat(params: Params, x: jnp.ndarray,
                     eps: float = 1e-6) -> jnp.ndarray:
     """Normalize each sample over all of (H, W, C) jointly, then apply the
-    learned elementwise affine. Statistics in float32 for stability."""
+    learned elementwise affine. Statistics in float32 for stability
+    (float64 when the input is float64 — the numerics-debug path)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     axes = tuple(range(1, x.ndim))
     # E[x] and E[x^2] have no sequential dependency, so XLA computes both
     # in ONE read pass (sibling multi-output reduce fusion); the two-pass
@@ -165,5 +166,6 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
 def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = params["w"].astype(x.dtype)
     # Accumulate in f32 on the MXU even under bf16 compute.
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    out = jnp.dot(x, w, preferred_element_type=acc)
     return out.astype(x.dtype) + params["b"].astype(x.dtype)

@@ -1,0 +1,154 @@
+"""Multi-host (pod) data-parallel scaffolding.
+
+A TPU pod is driven by one process per host, each seeing only its local
+chips; arrays spanning the pod are assembled from per-process shards.
+This module provides the pod story for the training pipeline
+(SURVEY.md §5 "host-local data loading feeding per-device shards"):
+
+  * `initialize()` — `jax.distributed.initialize` wrapper (no-op for the
+    single-process case, so every entry point can call it
+    unconditionally);
+  * `shard_rows()` — contiguous per-host split of the map.csv sequence
+    list, so each host READS only its own slice of the dataset (the
+    reference loads everything everywhere, train_model.py:813-834 —
+    single-device, so it never had this problem);
+  * `HostShardedBatcher` — per-host epoch batcher producing the local
+    rows of a global batch, epoch-synchronized across hosts by
+    construction (same seed schedule, host-disjoint data);
+  * `make_global_batch()` — `jax.make_array_from_process_local_data`
+    over the mesh's data axis: each process contributes its local batch
+    rows and the result is one global jit-ready array.
+
+Composition contract: the global batch of size B is the concatenation of
+per-host batches of size B/process_count; each host shuffles its OWN
+row shard (standard host-local loading — global batches mix rows only
+across epochs, not within a step). Metrics aggregated from per-step
+losses are means over the global batch because every host computes the
+same jitted program over the same global arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pivp_tpu.data import dataset as dataset_lib
+from pivp_tpu.parallel import mesh as mesh_lib
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize the JAX distributed runtime when running multi-process.
+
+    Returns True if distributed mode was initialized. With no arguments
+    and no cluster environment (TPU pod metadata, SLURM, ...), this is a
+    no-op returning False — safe to call unconditionally from CLIs.
+    """
+    if coordinator_address is None and num_processes is None:
+        # Auto-detection path: only initialize when a cluster environment
+        # is present; plain single-host runs stay uninitialized.
+        try:
+            import jax._src.clusters as clusters
+            detected = any(
+                env.is_env_present() for env in clusters.ClusterEnv.__subclasses__())
+        except Exception:
+            detected = False
+        if not detected:
+            return False
+        jax.distributed.initialize()
+        return True
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def process_info() -> Tuple[int, int]:
+    """(process_index, process_count) of this host."""
+    return jax.process_index(), jax.process_count()
+
+
+def shard_rows(n_rows: int, process_index: int,
+               process_count: int) -> range:
+    """Contiguous per-host row assignment covering [0, n_rows) exactly
+    once across hosts; remainders go to the leading hosts."""
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} not in "
+                         f"[0, {process_count})")
+    base, rem = divmod(n_rows, process_count)
+    start = process_index * base + min(process_index, rem)
+    count = base + (1 if process_index < rem else 0)
+    return range(start, start + count)
+
+
+def local_batch_size(global_batch: int, process_count: int) -> int:
+    if global_batch % process_count:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{process_count} processes")
+    return global_batch // process_count
+
+
+class HostShardedBatcher:
+    """Per-host view of a globally batch_size-B stream.
+
+    Each host owns `shard_rows(n, pi, pc)` of the dataset and draws
+    epoch-shuffled local batches of B/pc rows; the concatenation over
+    hosts (in process order) is the global batch `make_global_batch`
+    assembles. Epoch boundaries are synchronized: every host's shard has
+    the same number of batches per epoch when row counts are equal
+    (guaranteed when n_rows % pc == 0; otherwise the longest shard
+    defines the epoch and shorter shards wrap — same semantics as
+    EpochBatcher's permutation wrap).
+    """
+
+    def __init__(self, arrays, global_batch: int, seed: int,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        if process_index is None or process_count is None:
+            process_index, process_count = process_info()
+        self.process_index = process_index
+        self.process_count = process_count
+        n = arrays[0].shape[0]
+        rows = shard_rows(n, process_index, process_count)
+        local = tuple(a[rows.start:rows.stop] for a in arrays)
+        # Distinct seed per host: hosts hold disjoint data, so identical
+        # permutations would be fine too, but decorrelating them makes
+        # the global batch composition independent of host count changes
+        # within a shard.
+        self.local = dataset_lib.EpochBatcher(
+            local, local_batch_size(global_batch, process_count),
+            seed=seed + process_index)
+
+    def next(self):
+        return self.local.next()
+
+    @property
+    def epoch(self) -> int:
+        return self.local.epoch
+
+    @property
+    def is_new_epoch(self) -> bool:
+        return self.local.is_new_epoch
+
+
+def make_global_batch(mesh: Mesh, host_batch, global_batch: int):
+    """Assemble one global time-major batch from this process's local
+    rows via `jax.make_array_from_process_local_data`.
+
+    host_batch: (images (T, B_local, H, W, C), actions (T, B_local, A),
+    states (T, B_local, S)) numpy arrays. Returns the same tuple as
+    global jax.Arrays sharded P(None, 'data', ...) over `mesh` (which
+    may span processes).
+    """
+    out = []
+    for arr in host_batch:
+        spec = P(None, mesh_lib.DATA_AXIS)
+        sharding = NamedSharding(mesh, spec)
+        global_shape = (arr.shape[0], global_batch) + arr.shape[2:]
+        out.append(jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(arr), global_shape))
+    return tuple(out)

@@ -44,10 +44,63 @@ def create_train_state(key: jax.Array, cfg: ModelConfig,
     return TrainState(params, optimizer.init(params), jnp.int32(0))
 
 
-def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+class ChainerAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def chainer_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with Chainer's exact update rule (the reference optimizer,
+    train_model.py:860-861 -> chainer.optimizers.Adam):
+
+        m  <- m + (1-b1) (g - m)
+        v  <- v + (1-b2) (g^2 - v)
+        p  <- p - alpha_t * m / (sqrt(v) + eps),
+              alpha_t = alpha * sqrt(1 - b2^t) / (1 - b1^t)
+
+    This differs from `optax.adam` only in where eps sits: Chainer adds
+    eps to sqrt(v) (the *uncorrected* second moment), optax to
+    sqrt(v_hat). Equivalent to optax with a time-dependent
+    eps/sqrt(1-b2^t) — negligible for healthy gradients, but this form is
+    what the reference ran and what the torch training-parity oracle
+    checks bit-for-bit (tests/test_reference_parity_train.py)."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ChainerAdamState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m + (1.0 - b1) * (g - m), state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v + (1.0 - b2) * (g * g - v), state.nu, updates)
+        t = count.astype(jnp.result_type(float))
+        alpha_t = learning_rate * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (-alpha_t * m / (jnp.sqrt(v) + eps)).astype(
+                m.dtype), mu, nu)
+        return new_updates, ChainerAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(learning_rate: float = 1e-3,
+                   flavor: str = "chainer") -> optax.GradientTransformation:
     """Adam with the reference's (Chainer-default) hyperparameters:
-    alpha=lr, beta1=0.9, beta2=0.999, eps=1e-8 (train_model.py:860)."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    alpha=lr, beta1=0.9, beta2=0.999, eps=1e-8 (train_model.py:860).
+
+    flavor 'chainer' (default) is the reference's exact update rule
+    (see `chainer_adam`); 'adam' is stock optax Adam (eps inside the
+    bias-corrected denominator) — the pre-round-3 behavior."""
+    if flavor == "chainer":
+        return chainer_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if flavor == "adam":
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    raise ValueError(f"unknown optimizer flavor {flavor!r}")
 
 
 _METRIC_KEYS = ("loss", "psnr_all", "recon_costs", "psnrs", "state_costs",
@@ -148,18 +201,7 @@ def make_train_step(cfg: ModelConfig,
 
     repl = NamedSharding(mesh, P())
     if spatial_parallel:
-        # Guard: GSPMD halo exchange silently truncates when a conv's
-        # halo exceeds the neighbor shard (observed: stage-2 activations
-        # off by >10 at 16x16/2-way). The deepest spatial extent is H/8
-        # (a 5x5 ConvLSTM there has halo 2), so require at least 4 rows
-        # per model shard.
-        model_shards = mesh.shape[mesh_lib.MODEL_AXIS]
-        deepest = cfg.image_height // 8
-        if deepest // model_shards < 4:
-            raise ValueError(
-                f"spatial_parallel needs (image_height//8)/model_shards "
-                f">= 4 rows per shard; got {deepest}//{model_shards}. "
-                f"Reduce model_parallel or increase image_height.")
+        _spatial_guard(cfg, mesh)
         # images (T, B, H, W, C): B over data, H over model.
         img_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS,
                                        mesh_lib.MODEL_AXIS))
@@ -176,28 +218,58 @@ def make_train_step(cfg: ModelConfig,
     )
 
 
+def _spatial_guard(cfg: ModelConfig, mesh: Mesh) -> None:
+    """GSPMD halo exchange silently truncates when a conv's halo exceeds
+    the neighbor shard (observed: stage-2 activations off by >10 at
+    16x16/2-way). The deepest spatial extent is H/8 (a 5x5 ConvLSTM there
+    has halo 2), so require at least 4 rows per model shard."""
+    model_shards = mesh.shape[mesh_lib.MODEL_AXIS]
+    deepest = cfg.image_height // 8
+    if deepest // model_shards < 4:
+        raise ValueError(
+            f"spatial_parallel needs (image_height//8)/model_shards "
+            f">= 4 rows per shard; got {deepest}//{model_shards}. "
+            f"Reduce model_parallel or increase image_height.")
+
+
 def make_train_multi(cfg: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      mesh: Optional[Mesh] = None,
                      remat: bool = False,
+                     spatial_parallel: bool = False,
                      grad_accum: int = 1):
     """K optimizer steps per dispatch: scan over a leading batch axis.
 
-    Signature: multi(state, batches, iter0, rng) -> (state, metrics)
+    Signature: multi(state, batches, iter0, rng, k_real)
+      -> (state, metrics)
     where batches = (images (K,T,B,...), actions (K,T,B,A),
     states (K,T,B,S)) and metrics holds per-step losses/psnrs of shape
     (K,). One host->device round-trip per K steps — this is the
     high-throughput path for remote-attached TPUs and the benchmark
     harness (no reference equivalent; the reference dispatches per
     iteration, train_model.py:937-950).
+
+    `k_real` (traced int32 scalar) masks the tail: scan steps with
+    index >= k_real leave params/opt_state/step untouched, so the FINAL
+    short dispatch of a run can be padded to the compiled K (no K'
+    recompile) without applying phantom updates. The masking select is
+    elementwise over the parameter tree (~3 reads + 1 write of ~12M
+    floats per step — sub-1% of a step at the bench config). Metrics for
+    masked steps are garbage; callers slice [:k_real].
+
+    `spatial_parallel=True` additionally shards the image HEIGHT axis
+    over the mesh's `model` axis (same semantics/guard as
+    `make_train_step`), so K-step dispatch composes with spatial
+    sharding.
     """
 
-    def multi_step(state: TrainState, batches, iter0, rng):
+    def multi_step(state: TrainState, batches, iter0, rng, k_real):
         k_total = batches[0].shape[0]
         ks = jnp.arange(k_total)
 
         def body(state, xs):
             k, batch = xs
+            active = k < k_real
             grads, metrics = _grads_and_metrics(
                 state.params, cfg, batch,
                 iter0 + k.astype(jnp.float32),
@@ -205,23 +277,43 @@ def make_train_multi(cfg: ModelConfig,
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), new, old)
             out = {"loss": metrics["loss"],
                    "psnr_all": metrics["psnr_all"]}
-            return TrainState(new_params, new_opt, state.step + 1), out
+            new_state = TrainState(keep(new_params, state.params),
+                                   keep(new_opt, state.opt_state),
+                                   state.step + active.astype(jnp.int32))
+            return new_state, out
 
         return jax.lax.scan(body, state, (ks, batches))
 
     if not _use_mesh(mesh):
-        return jax.jit(multi_step, donate_argnums=(0,))
+        jitted = jax.jit(multi_step, donate_argnums=(0,))
+    else:
+        repl = NamedSharding(mesh, P())
+        if spatial_parallel:
+            _spatial_guard(cfg, mesh)
+            img_sh = NamedSharding(mesh, P(None, None, mesh_lib.DATA_AXIS,
+                                           mesh_lib.MODEL_AXIS))
+            vec_sh = NamedSharding(mesh, P(None, None, mesh_lib.DATA_AXIS))
+            batch_sh = (img_sh, vec_sh, vec_sh)
+        else:
+            bsh = NamedSharding(mesh, P(None, None, mesh_lib.DATA_AXIS))
+            batch_sh = (bsh, bsh, bsh)
+        jitted = jax.jit(
+            multi_step,
+            in_shardings=(repl, batch_sh, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
 
-    repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P(None, None, mesh_lib.DATA_AXIS))
-    return jax.jit(
-        multi_step,
-        in_shardings=(repl, (bsh, bsh, bsh), repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    def call(state, batches, iter0, rng, k_real=None):
+        if k_real is None:
+            k_real = batches[0].shape[0]
+        return jitted(state, batches, iter0, rng, jnp.int32(k_real))
+
+    return call
 
 
 def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pivp_tpu import config as config_mod
 from pivp_tpu.config import ModelConfig, TrainConfig
 from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.parallel import mesh as mesh_lib
@@ -81,13 +82,31 @@ def run_training(cfg: TrainConfig,
         logger.info("Loaded pretrained optimizer state %s",
                     cfg.pretrained_state)
 
-    train_step = ts_lib.make_train_step(mcfg, optimizer, mesh,
-                                        remat=cfg.remat,
-                                        grad_accum=cfg.grad_accum)
+    # steps_per_call == 0 resolves to auto: K=25 on TPU backends (one
+    # host->device dispatch per 25 optimizer steps amortizes the ~50 ms
+    # tunnel RTT that would otherwise dominate a ~40 ms step), clamped to
+    # the epoch length and the run length; 1 elsewhere (CPU dispatch is
+    # local and cheap, and K>1 only delays metrics).
+    steps_per_call = cfg.steps_per_call
+    if steps_per_call == 0:
+        if config_mod.tpu_backend():
+            epoch_batches = max(1, -(-train_arrays[0].shape[0]
+                                     // cfg.batch_size))
+            steps_per_call = max(1, min(25, epoch_batches,
+                                        cfg.num_iterations))
+        else:
+            steps_per_call = 1
+    logger.info("steps_per_call: %d%s", steps_per_call,
+                " (auto)" if cfg.steps_per_call == 0 else "")
+
+    train_step = (ts_lib.make_train_step(mcfg, optimizer, mesh,
+                                         remat=cfg.remat,
+                                         grad_accum=cfg.grad_accum)
+                  if steps_per_call == 1 else None)
     train_multi = (ts_lib.make_train_multi(mcfg, optimizer, mesh,
                                            remat=cfg.remat,
                                            grad_accum=cfg.grad_accum)
-                   if cfg.steps_per_call > 1 else None)
+                   if steps_per_call > 1 else None)
     eval_step = ts_lib.make_eval_step(mcfg, mesh)
 
     if run_name is None:
@@ -114,8 +133,6 @@ def run_training(cfg: TrainConfig,
                                        seed=cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
-    local_losses: List[jnp.ndarray] = []
-    local_psnrs: List[jnp.ndarray] = []
     global_losses: List[List[float]] = []
     global_psnr_all: List[List[float]] = []
     global_losses_valid: List[List[float]] = []
@@ -128,57 +145,9 @@ def run_training(cfg: TrainConfig,
     # runtimes — see utils/profiling.StepTimer).
     step_timer = profiling.StepTimer() if cfg.debug else None
 
-    # Input pipeline: batch assembly (index-gather + transpose + u8
-    # quantization + optional device_put) runs in _produce_calls; with
-    # cfg.prefetch > 0 a daemon thread keeps a bounded queue of ready
-    # calls so host assembly overlaps device compute. Metric arrays are
-    # kept as device values until the epoch flush — fetching them eagerly
-    # would block the dispatch pipeline on every call.
-    calls = _produce_calls(batcher, cfg, itr, mesh)
-    if cfg.prefetch > 0:
-        calls = _Prefetcher(calls, cfg.prefetch)
-
-    for payload, k, is_epoch_boundary, epoch_now in calls:
-        rng, step_key = jax.random.split(rng)
-        if cfg.steps_per_call > 1:
-            # Multi-step dispatch: payload is K stacked batches (possibly
-            # K=1 on the final call), one device call = K optimizer steps
-            # (amortizes host/tunnel latency). Per-iteration metrics come
-            # back as stacked (K,) device arrays; epoch bookkeeping fires
-            # at call granularity.
-            state, metrics = train_multi(state, payload,
-                                         jnp.float32(itr), step_key)
-            local_losses.append(metrics["loss"])      # device (K,) array
-            local_psnrs.append(metrics["psnr_all"])
-        else:
-            if step_timer is not None:
-                step_timer.start()
-            state, metrics = train_step(state, payload, jnp.float32(itr),
-                                        step_key)
-            if step_timer is not None:
-                step_timer.stop(barrier_value=metrics["loss"])
-            # Device scalars appended lazily; forced at epoch boundaries
-            # only, so steps keep dispatching asynchronously.
-            local_losses.append(metrics["loss"])
-            local_psnrs.append(metrics["psnr_all"])
-            if cfg.debug and (itr < 3 or itr % 50 == 0):
-                logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
-                            float(metrics["loss"]),
-                            float(metrics["psnr_all"]))
-        last_metrics = metrics
-        itr += k
-
-        if not is_epoch_boundary:
-            continue
-
-        epoch = epoch_now
-        losses_np = np.concatenate(
-            [np.atleast_1d(np.asarray(x, np.float64))
-             for x in local_losses])
-        psnr_np = np.concatenate(
-            [np.atleast_1d(np.asarray(x, np.float64))
-             for x in local_psnrs])
-
+    def flush_epoch(epoch: int, losses_np: np.ndarray,
+                    psnr_np: np.ndarray, elapsed: float) -> None:
+        nonlocal save_dir
         # Failure detection: catch divergence, save an emergency
         # checkpoint, and abort (no reference equivalent — its only
         # sanitizer was chainer debug-mode NaN checks).
@@ -194,8 +163,7 @@ def run_training(cfg: TrainConfig,
         global_losses.append(logging_utils.epoch_stats(list(losses_np)))
         global_psnr_all.append(logging_utils.epoch_stats(list(psnr_np)))
         logger.info("[TRAIN] Epoch #: %d (%.2fs)  loss: %.6f  psnr: %.3f",
-                    epoch, time.time() - epoch_start, losses_np.mean(),
-                    psnr_np.mean())
+                    epoch, elapsed, losses_np.mean(), psnr_np.mean())
         if step_timer is not None and step_timer.times:
             logger.info("[TIMER] per-dispatch %s", step_timer.summary())
             step_timer.times.clear()
@@ -203,14 +171,12 @@ def run_training(cfg: TrainConfig,
             "epoch": epoch, "iteration": itr,
             "train_loss": logging_utils.epoch_stats(list(losses_np)),
             "train_psnr": logging_utils.epoch_stats(list(psnr_np)),
-            "elapsed_s": time.time() - epoch_start,
+            "elapsed_s": elapsed,
             "summaries": (logging_utils.frame_summaries("train",
                                                         last_metrics)
                           if "recon_costs" in (last_metrics or {})
                           else []),
         })
-        local_losses, local_psnrs = [], []
-        epoch_start = time.time()
 
         # --- validation sweep (precedence bug fixed) ---------------------
         if (epoch % cfg.validation_interval == 0
@@ -242,6 +208,71 @@ def run_training(cfg: TrainConfig,
             _save_checkpoint(save_dir, epoch, state, global_losses,
                              global_psnr_all, global_losses_valid,
                              global_psnr_all_valid, manager=ckpt_manager)
+
+    # Input pipeline: batch assembly (index-gather + transpose + u8
+    # quantization + optional device_put) runs in _produce_calls; with
+    # cfg.prefetch > 0 a daemon thread keeps a bounded queue of ready
+    # calls so host assembly overlaps device compute. Metric arrays are
+    # kept as device values until the epoch flush — fetching them eagerly
+    # would block the dispatch pipeline on every call.
+    calls = _produce_calls(batcher, cfg, itr, mesh, steps_per_call)
+    if cfg.prefetch > 0:
+        calls = _Prefetcher(calls, cfg.prefetch)
+
+    # Epoch bookkeeping is EXACT under K-step dispatch: the producer
+    # marks, per dispatch, which step indices closed an epoch; per-step
+    # losses come back as (K,) device arrays and are split at the true
+    # boundary at flush time. The final short dispatch is padded to the
+    # compiled K (masked on device via k_real — no K' recompile, no
+    # phantom updates); only the first k real steps' metrics are used.
+    stream: List[Tuple[jnp.ndarray, jnp.ndarray, int]] = []
+    stream_marks: List[Tuple[int, int]] = []   # (absolute step, epoch)
+    stream_len = 0
+
+    for payload, k, marks in calls:
+        rng, step_key = jax.random.split(rng)
+        if steps_per_call > 1:
+            state, metrics = train_multi(state, payload,
+                                         jnp.float32(itr), step_key, k)
+        else:
+            if step_timer is not None:
+                step_timer.start()
+            state, metrics = train_step(state, payload, jnp.float32(itr),
+                                        step_key)
+            if step_timer is not None:
+                step_timer.stop(barrier_value=metrics["loss"])
+            if cfg.debug and (itr < 3 or itr % 50 == 0):
+                logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
+                            float(metrics["loss"]),
+                            float(metrics["psnr_all"]))
+        # Device arrays appended lazily; forced at epoch flushes only, so
+        # dispatches stay asynchronous.
+        stream.append((metrics["loss"], metrics["psnr_all"], k))
+        last_metrics = metrics
+        for i, ep in marks:
+            stream_marks.append((stream_len + i, ep))
+        stream_len += k
+        itr += k
+
+        if not stream_marks:
+            continue
+        losses_np = np.concatenate(
+            [np.atleast_1d(np.asarray(l, np.float64))[:kk]
+             for l, _, kk in stream])
+        psnr_np = np.concatenate(
+            [np.atleast_1d(np.asarray(p, np.float64))[:kk]
+             for _, p, kk in stream])
+        elapsed = time.time() - epoch_start
+        prev = 0
+        for n_flushed, (pos, ep) in enumerate(stream_marks):
+            flush_epoch(ep, losses_np[prev:pos + 1], psnr_np[prev:pos + 1],
+                        elapsed if n_flushed == 0 else 0.0)
+            prev = pos + 1
+        tail_l, tail_p = losses_np[prev:], psnr_np[prev:]
+        stream = ([(tail_l, tail_p, len(tail_l))] if len(tail_l) else [])
+        stream_marks = []
+        stream_len = len(tail_l)
+        epoch_start = time.time()
 
     # Final checkpoint.
     save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
@@ -301,24 +332,33 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
     }
 
 
-def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh):
-    """Yield (payload, k, new_epoch, epoch) device-call descriptions.
+def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
+                   steps_per_call: int):
+    """Yield (payload, k_real, marks) device-call descriptions.
 
     payload is one batch (steps_per_call == 1) or K stacked batches, u8-
     quantized if configured and already device_put when the mesh is
-    multi-device. Runs on the prefetch thread when cfg.prefetch > 0, so
-    everything here (gather + stack + quantize + transfer start) overlaps
-    device compute.
+    multi-device. `marks` lists (step_index_within_dispatch, epoch) for
+    every step that CLOSED an epoch — the consumer splits per-step metric
+    arrays exactly there. The final dispatch of a run is padded to K by
+    repeating its last batch; k_real counts the real steps (the device
+    masks updates past it, the consumer slices metrics to it).
+
+    Runs on the prefetch thread when cfg.prefetch > 0, so everything here
+    (gather + stack + quantize + transfer start) overlaps device compute.
     """
     itr = start_itr
     while itr < cfg.num_iterations:
-        if cfg.steps_per_call > 1:
-            k = min(cfg.steps_per_call, cfg.num_iterations - itr)
+        if steps_per_call > 1:
+            k = min(steps_per_call, cfg.num_iterations - itr)
             host_batches = []
-            new_epoch = False
-            for _ in range(k):
+            marks = []
+            for i in range(k):
                 host_batches.append(batcher.next())
-                new_epoch = new_epoch or batcher.is_new_epoch
+                if batcher.is_new_epoch:
+                    marks.append((i, batcher.epoch))
+            if k < steps_per_call:        # pad to the compiled K
+                host_batches += [host_batches[-1]] * (steps_per_call - k)
             stacked = tuple(
                 np.stack([b[i] for b in host_batches])
                 for i in range(3))
@@ -339,14 +379,19 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh):
                     mesh, P(None, None, mesh_lib.DATA_AXIS)))
             elif cfg.u8_transfer:
                 stacked = jax.device_put(stacked)
-            yield stacked, k, new_epoch, batcher.epoch
+            yield stacked, k, marks
             itr += k
         else:
             batch = batcher.next()
+            marks = ([(0, batcher.epoch)] if batcher.is_new_epoch else [])
             if cfg.u8_transfer:
                 batch = (_quantize_images(batch[0]), batch[1], batch[2])
-            batch = mesh_lib.shard_batch(mesh, batch)
-            yield batch, 1, batcher.is_new_epoch, batcher.epoch
+            # Same HBM-staging policy as the K-path: device_put on the
+            # producer thread only for u8 payloads or multi-device
+            # sharding; f32 single-device batches transfer at dispatch.
+            if mesh.size > 1 or cfg.u8_transfer:
+                batch = mesh_lib.shard_batch(mesh, batch)
+            yield batch, 1, marks
             itr += 1
 
 
@@ -394,16 +439,26 @@ class _Prefetcher:
 
     def close(self) -> None:
         """Stop the producer and drop queued payloads (frees any device
-        buffers it staged)."""
+        buffers it staged). Drains AGAIN after the thread dies: an
+        in-flight _q.put() racing the first drain can land one more item,
+        which would otherwise pin its device buffers until GC."""
         import queue
 
+        def drain():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=5.0)
+        deadline = time.time() + 10.0
+        while True:
+            drain()
+            self._thread.join(timeout=0.5)
+            if not self._thread.is_alive() or time.time() > deadline:
+                break
+        drain()
 
     def __iter__(self):
         try:

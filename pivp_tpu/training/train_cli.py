@@ -76,9 +76,10 @@ from pivp_tpu.utils import logging_utils
 @click.option('--u8_transfer', type=click.INT, default=1,
               help='Ship frames to the device as uint8, dequantize '
                    'on-device (4x less host->device traffic).')
-@click.option('--steps_per_call', type=click.INT, default=1,
+@click.option('--steps_per_call', type=click.INT, default=0,
               help='Optimizer steps per device dispatch (amortizes host '
-                   'latency; 1 = one dispatch per iteration).')
+                   'latency). 0 = auto (25 on TPU, 1 elsewhere); '
+                   '1 = one dispatch per iteration.')
 @click.option('--scan_unroll', type=click.INT, default=0,
               help='Time-scan unroll: 0 auto (full on TPU), 1 rolled, '
                    'N partial.')

@@ -284,13 +284,19 @@ class ChainerOracle:
             out = out + layer * masks[:, i + 1:i + 2]
         return out
 
-    def rollout(self, images: np.ndarray, actions: np.ndarray,
-                states: np.ndarray) -> Dict[str, np.ndarray]:
-        """Feedself (eval-mode) rollout + loss, train_model.py:620-764.
+    def _build_rollout(self, images, actions, states,
+                       sampling: str = "feedself"):
+        """Build the rollout graph + loss, train_model.py:620-764.
 
-        Args: images (T, B, C, H, W) float in [0,1]; actions/states
-        (T, B, 5). Returns gen_images (T-1, B, C, H, W), per-frame
-        recon/psnr, loss, psnr_all.
+        sampling:
+          * "feedself": generated frames fed back ATTACHED (the
+            eval/feedself path at train_model.py:664-666; under training
+            this backprops through the whole autoregressive chain).
+          * "detach": generated frames fed back DETACHED — the reference's
+            scheduled_sample CPU round-trip side effect
+            (train_model.py:89-122, chainer.cuda.to_cpu of .data) with
+            num_ground_truth=0, i.e. every post-context step feeds the
+            detached generated frame.
         """
         images = torch.as_tensor(np.asarray(images), dtype=self.dtype)
         actions = torch.as_tensor(np.asarray(actions), dtype=self.dtype)
@@ -301,20 +307,21 @@ class ChainerOracle:
         lstm_states = [(None, None)] * 7
         current_state = states[0]
         gen_images, gen_states = [], []
-        with torch.no_grad():
-            for t in range(t_total - 1):
-                if t < ctx or not gen_images:
-                    prev_image = images[t]
-                else:
-                    prev_image = gen_images[-1]
-                state_action = torch.cat([actions[t], current_state], dim=1)
-                lstm_states, encs, hiddens = self.forward_step(
-                    lstm_states, prev_image, state_action)
-                transformed, _ = self.head(encs, hiddens, prev_image)
-                gen_images.append(self.composite(prev_image, transformed,
-                                                 encs[6]))
-                current_state = self.linear("current_state", state_action)
-                gen_states.append(current_state)
+        for t in range(t_total - 1):
+            if t < ctx or not gen_images:
+                prev_image = images[t]
+            elif sampling == "detach":
+                prev_image = gen_images[-1].detach()
+            else:
+                prev_image = gen_images[-1]
+            state_action = torch.cat([actions[t], current_state], dim=1)
+            lstm_states, encs, hiddens = self.forward_step(
+                lstm_states, prev_image, state_action)
+            transformed, _ = self.head(encs, hiddens, prev_image)
+            gen_images.append(self.composite(prev_image, transformed,
+                                             encs[6]))
+            current_state = self.linear("current_state", state_action)
+            gen_states.append(current_state)
 
         loss = torch.zeros((), dtype=self.dtype)
         psnr_all = torch.zeros((), dtype=self.dtype)
@@ -330,13 +337,69 @@ class ChainerOracle:
             loss = loss + ((st - gst) ** 2).mean() * 1e-4
         loss = loss / float(t_total - ctx)
         return {
-            "gen_images": torch.stack(gen_images).numpy(),
-            "gen_states": torch.stack(gen_states).numpy(),
-            "recon_costs": np.array([r.item() for r in recon]),
-            "psnrs": np.array([p.item() for p in psnrs]),
-            "loss": loss.item(),
-            "psnr_all": psnr_all.item(),
+            "gen_images": gen_images,
+            "gen_states": gen_states,
+            "recon": recon,
+            "psnrs_t": psnrs,
+            "loss_t": loss,
+            "psnr_all_t": psnr_all,
         }
+
+    def rollout(self, images: np.ndarray, actions: np.ndarray,
+                states: np.ndarray) -> Dict[str, np.ndarray]:
+        """Feedself (eval-mode) rollout + loss, train_model.py:620-764.
+
+        Args: images (T, B, C, H, W) float in [0,1]; actions/states
+        (T, B, 5). Returns gen_images (T-1, B, C, H, W), per-frame
+        recon/psnr, loss, psnr_all.
+        """
+        with torch.no_grad():
+            g = self._build_rollout(images, actions, states, "feedself")
+        return {
+            "gen_images": torch.stack(g["gen_images"]).numpy(),
+            "gen_states": torch.stack(g["gen_states"]).numpy(),
+            "recon_costs": np.array([r.item() for r in g["recon"]]),
+            "psnrs": np.array([p.item() for p in g["psnrs_t"]]),
+            "loss": g["loss_t"].item(),
+            "psnr_all": g["psnr_all_t"].item(),
+        }
+
+    def train_step(self, images: np.ndarray, actions: np.ndarray,
+                   states: np.ndarray, sampling: str = "feedself",
+                   lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8) -> Dict[str, object]:
+        """One reference training step: loss, per-parameter gradients and
+        ONE Chainer-Adam update (train_model.py:860-861, 937-950;
+        chainer.optimizers.Adam update rule at t=1:
+        m=(1-b1)g, v=(1-b2)g^2, alpha_t=alpha*sqrt(1-b2)/(1-b1),
+        p -= alpha_t*m/(sqrt(v)+eps)).
+
+        Returns {"loss": float, "grads": {npz_key: ndarray},
+        "new_params": {npz_key: ndarray}} in the Chainer npz layout.
+        """
+        for v in self.p.values():
+            v.requires_grad_(True)
+            if v.grad is not None:
+                v.grad = None
+        g = self._build_rollout(images, actions, states, sampling)
+        g["loss_t"].backward()
+
+        grads, new_params = {}, {}
+        t = 1
+        alpha_t = lr * math.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        with torch.no_grad():
+            for k, v in self.p.items():
+                gk = v.grad if v.grad is not None else torch.zeros_like(v)
+                grads[k] = gk.detach().numpy().copy()
+                m = (1.0 - b1) * gk
+                vv = (1.0 - b2) * gk * gk
+                new_params[k] = (
+                    v - alpha_t * m / (vv.sqrt() + eps)).numpy().copy()
+        for v in self.p.values():
+            v.requires_grad_(False)
+            v.grad = None
+        return {"loss": g["loss_t"].item(), "grads": grads,
+                "new_params": new_params}
 
 
 # -- chainer spatial transformer semantics ---------------------------------

@@ -90,3 +90,62 @@ def test_ssim_identity():
         float(metrics.structural_similarity(x, x)), 1.0, atol=1e-4)
     y = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3))
     assert float(metrics.structural_similarity(x, y)) < 0.9
+
+
+def _ssim_windowed_numpy(x, y, max_val=1.0, size=11, sigma=1.5,
+                         k1=0.01, k2=0.03):
+    """Independent numpy windowed SSIM (direct sliding-window loops) for
+    fixture-checking metrics.ssim_per_image against Wang et al. /
+    tf.image.ssim semantics."""
+    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g1 = np.exp(-(ax ** 2) / (2.0 * sigma ** 2))
+    g1 /= g1.sum()
+    win = np.outer(g1, g1)
+    b, h, w, c = x.shape
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    out = np.zeros((b,))
+    for bi in range(b):
+        vals = []
+        for ci in range(c):
+            xs = x[bi, :, :, ci].astype(np.float64)
+            ys = y[bi, :, :, ci].astype(np.float64)
+            for i in range(h - size + 1):
+                for j in range(w - size + 1):
+                    px = xs[i:i + size, j:j + size]
+                    py = ys[i:i + size, j:j + size]
+                    mx = (win * px).sum()
+                    my = (win * py).sum()
+                    vx = (win * px * px).sum() - mx * mx
+                    vy = (win * py * py).sum() - my * my
+                    cov = (win * px * py).sum() - mx * my
+                    vals.append((2 * mx * my + c1) * (2 * cov + c2)
+                                / ((mx * mx + my * my + c1)
+                                   * (vx + vy + c2)))
+        out[bi] = np.mean(vals)
+    return out
+
+
+def test_ssim_windowed_matches_independent_reference():
+    rng = np.random.RandomState(7)
+    x = rng.rand(2, 16, 16, 3).astype(np.float32)
+    # y = x plus structured + random perturbation, clipped to [0, 1].
+    y = np.clip(x + 0.1 * rng.randn(2, 16, 16, 3).astype(np.float32)
+                + 0.05, 0.0, 1.0).astype(np.float32)
+    got = np.asarray(metrics.ssim_per_image(jnp.asarray(x),
+                                            jnp.asarray(y)))
+    want = _ssim_windowed_numpy(x, y)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # Identity and range sanity.
+    same = np.asarray(metrics.ssim_per_image(jnp.asarray(x),
+                                             jnp.asarray(x)))
+    np.testing.assert_allclose(same, 1.0, atol=1e-5)
+    assert np.all(got < 1.0)
+
+
+def test_ssim_small_image_falls_back_to_global():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    y = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    np.testing.assert_allclose(
+        np.asarray(metrics.ssim_per_image(x, y)),
+        np.asarray(metrics.ssim_global_per_image(x, y)), rtol=1e-6)

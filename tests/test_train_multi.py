@@ -73,6 +73,77 @@ def test_loop_with_steps_per_call(tmp_path):
     assert any(f.startswith("training-final") for f in files)
 
 
+def test_multi_k_real_masks_padded_steps():
+    """A dispatch padded past k_real must apply EXACTLY k_real updates:
+    params, opt_state and step match the sequential k_real-step result,
+    regardless of what the padded tail batches contain."""
+    cfg = tiny_cfg(scheduled_sampling_k=-1.0)
+    opt = ts_lib.make_optimizer(1e-3)
+    k_compiled, k_real, b = 4, 2, 4
+
+    imgs, acts, stas = synthetic.generate_sequences(b * k_real, 4, 16, 16)
+    per_step = [
+        dataset_lib.to_time_major(imgs[i * b:(i + 1) * b],
+                                  acts[i * b:(i + 1) * b],
+                                  stas[i * b:(i + 1) * b])
+        for i in range(k_real)]
+    # Pad with garbage-valued repeats of the last batch.
+    padded = per_step + [per_step[-1]] * (k_compiled - k_real)
+    stacked = tuple(np.stack([s[i] for s in padded]) for i in range(3))
+
+    rng = jax.random.PRNGKey(11)
+    state1 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = ts_lib.make_train_step(cfg, opt, mesh=None)
+    losses_seq = []
+    for i in range(k_real):
+        state1, m = step(state1, per_step[i], jnp.float32(i),
+                         jax.random.fold_in(rng, i))
+        losses_seq.append(float(m["loss"]))
+
+    state2 = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    multi = ts_lib.make_train_multi(cfg, opt, mesh=None)
+    state2, m2 = multi(state2, stacked, jnp.float32(0.0), rng,
+                       k_real=k_real)
+
+    assert int(state2.step) == k_real
+    np.testing.assert_allclose(np.asarray(m2["loss"])[:k_real],
+                               losses_seq, rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state1.params),
+                     jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state1.opt_state),
+                     jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_epoch_stats_invariant_to_steps_per_call(tmp_path):
+    """Per-epoch loss stats must be IDENTICAL for steps_per_call 1 vs 7
+    on a 5-batch epoch (boundaries fall mid-dispatch, the final dispatch
+    is short): the exact-segmentation bookkeeping regression test."""
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(20, 4, 16, 16)
+
+    def run(spc, tag):
+        cfg = TrainConfig(
+            num_iterations=17, batch_size=4, sequence_length=4,
+            context_frames=2, num_masks=3, train_val_split=1.0,
+            validation_interval=100, save_interval=100,
+            output_dir=str(tmp_path / tag), image_height=16,
+            image_width=16, steps_per_call=spc, prefetch=0,
+            schedsamp_k=-1.0)  # rng-independent path
+        out = loop.run_training(cfg, arrays=arrays)
+        return np.asarray(out["global_losses"])
+
+    a = run(1, "k1")
+    b = run(7, "k7")
+    # 17 iterations over 5-batch epochs -> exactly 3 complete epochs.
+    assert a.shape == b.shape == (3, 5)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
 def test_nan_guard_aborts_and_checkpoints(tmp_path):
     from pivp_tpu.training import loop
 
