@@ -28,8 +28,14 @@ predict:
 visualization:
 	$(PYTHON_INTERPRETER) -m pivp_tpu.visualization.visualize_cli $(ARGS)
 
-## Run the test suite
+## Run the fast test suite (excludes tests marked heavy; <10 min on a
+## 1-core host). Use test_all before shipping.
 test:
+	$(PYTHON_INTERPRETER) -m pytest tests/ -x -q -m "not heavy"
+
+## Run the FULL test suite, including the heavy full-model training and
+## parity gates (~1 h on a 1-core host).
+test_all:
 	$(PYTHON_INTERPRETER) -m pytest tests/ -x -q
 
 ## Install Python dependencies (reference Makefile:23-24). The TPU image

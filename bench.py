@@ -134,8 +134,31 @@ def main() -> None:
             achieved_tflops / V5E_BF16_PEAK_TFLOPS, 3),
         "devices": n_chips,
         "final_loss": final_loss,
+        # Real-TPU numerical regression of BOTH Pallas kernels (local
+        # kernel apply at 64x64 whole-frame + 256x256 H-tiled; fused
+        # ConvLSTM gates at C in {32,64,128}; f32 + bf16) — the compiled
+        # paths the CPU test suite can only interpret.
+        "pallas_tpu_check": _pallas_check(),
     }
     print(json.dumps(result))
+
+
+def _pallas_check() -> str:
+    import os
+    import subprocess
+    import sys
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "check_pallas_tpu.py")
+    try:
+        proc = subprocess.run([sys.executable, tool], capture_output=True,
+                              text=True, timeout=1800)
+    except Exception as e:  # never let the check sink the bench number
+        return f"error({e})"
+    if proc.returncode == 0:
+        return "ok"
+    tail = (proc.stdout + proc.stderr).strip().splitlines()[-1:]
+    return f"fail(rc={proc.returncode}: {' '.join(tail)[:200]})"
 
 
 if __name__ == "__main__":

@@ -117,6 +117,10 @@ class ModelConfig:
     # Use the Pallas local-kernel-apply op for the K*K tap application in
     # the fused CDNA / DNA paths (TPU only; falls back to XLA otherwise).
     use_pallas: bool = False
+    # Fused ConvLSTM gate update as one Pallas VMEM pass (TPU only):
+    # f32 gate math at storage-dtype I/O traffic, superseding the
+    # lstm_gate_compute precision/traffic trade-off.
+    use_pallas_gates: bool = False
 
     # State-cost weight (train_model.py:751).
     state_cost_weight: float = 1e-4
@@ -281,6 +285,12 @@ class TrainConfig:
             compute_dtype=dtype,
             lstm_gate_compute=gate,
             use_pallas=bool(pallas),
+            # NOT auto-enabled: the fused gate kernel measured SLOWER
+            # than XLA's own gate fusions at the bench config (43.3 vs
+            # 39.0 ms/step — 126 small kernel launches/step outweigh the
+            # fusion win; see BENCHMARKS.md "Rejected: Pallas gate
+            # kernel"). Kept for explicit experimentation.
+            use_pallas_gates=False,
             fused_cdna=self.fused_cdna,
             scan_unroll=unroll,
         )

@@ -131,6 +131,10 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     fb = cfg.forget_bias
     gd = (jnp.float32 if cfg.lstm_gate_compute == "float32"
           else cfg.dtype)
+
+    def cell(p, st, inp):
+        return convlstm.conv_lstm(p, st, inp, fb, gd,
+                                  pallas_gates=cfg.use_pallas_gates)
     eps = cfg.layer_norm_eps
     s1, s2, s3, s4, s5, s6, s7 = lstm_states
 
@@ -139,16 +143,16 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     enc0 = relu(layers.layer_norm_flat(params["norm_enc0"], x, eps))
 
     # Stage 1: lstm1 -> LN -> lstm2 -> LN -> enc1 conv 3x3 s2.
-    s1, h = convlstm.conv_lstm(params["lstm1"], s1, enc0, fb, gd)
+    s1, h = cell(params["lstm1"], s1, enc0)
     h1 = layers.layer_norm_flat(params["hidden1"], h, eps)
-    s2, h = convlstm.conv_lstm(params["lstm2"], s2, h1, fb, gd)
+    s2, h = cell(params["lstm2"], s2, h1)
     h2 = layers.layer_norm_flat(params["hidden2"], h, eps)
     enc1 = relu(layers.conv2d(params["enc1"], h2, stride=2))
 
     # Stage 2: lstm3 -> LN -> lstm4 -> LN -> enc2 conv 3x3 s2.
-    s3, h = convlstm.conv_lstm(params["lstm3"], s3, enc1, fb, gd)
+    s3, h = cell(params["lstm3"], s3, enc1)
     h3 = layers.layer_norm_flat(params["hidden3"], h, eps)
-    s4, h = convlstm.conv_lstm(params["lstm4"], s4, h3, fb, gd)
+    s4, h = cell(params["lstm4"], s4, h3)
     h4 = layers.layer_norm_flat(params["hidden4"], h, eps)
     enc2 = relu(layers.conv2d(params["enc2"], h4, stride=2))
 
@@ -164,7 +168,7 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     enc3 = relu(layers.conv2d(params["enc3"], x, stride=1, padding=0))
 
     # Stage 4: lstm5 -> LN(hidden5) -> enc4 deconv up to H/4.
-    s5, h = convlstm.conv_lstm(params["lstm5"], s5, enc3, fb, gd)
+    s5, h = cell(params["lstm5"], s5, enc3)
     h5 = layers.layer_norm_flat(params["hidden5"], h, eps)
     (r0, r1, r2, _) = _resolutions(cfg)
     enc4 = relu(layers.deconv2d(params["enc4"], h5, stride=2, padding=1,
@@ -172,14 +176,14 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
 
     # Stage 5: lstm6 -> LN -> skip(enc1) -> enc5 deconv up to H/2
     # (skip connections: train_model.py:569-576, 600-601).
-    s6, h = convlstm.conv_lstm(params["lstm6"], s6, enc4, fb, gd)
+    s6, h = cell(params["lstm6"], s6, enc4)
     h6 = layers.layer_norm_flat(params["hidden6"], h, eps)
     x = jnp.concatenate([h6, enc1], axis=-1)
     enc5 = relu(layers.deconv2d(params["enc5"], x, stride=2, padding=1,
                                 outsize=r1))
 
     # Stage 6: lstm7 -> LN -> skip(enc0) -> enc6 deconv up to H + LN.
-    s7, h = convlstm.conv_lstm(params["lstm7"], s7, enc5, fb, gd)
+    s7, h = cell(params["lstm7"], s7, enc5)
     h7 = layers.layer_norm_flat(params["hidden7"], h, eps)
     x = jnp.concatenate([h7, enc0], axis=-1)
     x = layers.deconv2d(params["enc6"], x, stride=2, padding=1, outsize=r0)

@@ -46,7 +46,8 @@ def zero_state(batch: int, height: int, width: int, out_ch: int,
 
 def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
               x: jnp.ndarray, forget_bias: float = 1.0,
-              gate_dtype=jnp.float32) -> Tuple[LSTMState, jnp.ndarray]:
+              gate_dtype=jnp.float32,
+              pallas_gates: bool = False) -> Tuple[LSTMState, jnp.ndarray]:
     """One ConvLSTM step. Returns (new_state, h).
 
     `gate_dtype` is the precision of the gate nonlinearities. float32
@@ -54,10 +55,22 @@ def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
     the carry is re-quantized to bf16 every step regardless (the conv
     consumes it in compute dtype), so bf16 gate math changes little
     while halving the HBM traffic of the gate fusions — select it with
-    ModelConfig.lstm_gate_compute on TPU."""
+    ModelConfig.lstm_gate_compute on TPU.
+
+    `pallas_gates=True` runs the whole post-conv gate update as ONE
+    Pallas VMEM pass (ops/pallas/lstm_gates.py): f32 register math at
+    bf16 I/O traffic — reference-exact gate numerics AND minimal HBM
+    traffic simultaneously, so it supersedes the gate_dtype trade-off."""
     c, h = state
     inputs_h = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
     gates = layers.conv2d(params, inputs_h, stride=1)
+    if pallas_gates:
+        from pivp_tpu.ops.pallas import lstm_gates
+
+        new_c, new_h = lstm_gates.fused_lstm_gates(gates, c, forget_bias)
+        new_c = new_c.astype(x.dtype)
+        new_h = new_h.astype(x.dtype)
+        return LSTMState(new_c, new_h), new_h
     # Gate order (j, i, f, o) — reference train_model.py:269.
     j, i, f, o = jnp.split(gates, 4, axis=-1)
     cf = c.astype(gate_dtype)

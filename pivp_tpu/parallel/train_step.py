@@ -103,8 +103,12 @@ def make_optimizer(learning_rate: float = 1e-3,
     raise ValueError(f"unknown optimizer flavor {flavor!r}")
 
 
-_METRIC_KEYS = ("loss", "psnr_all", "recon_costs", "psnrs", "state_costs",
-                "psnr_per_image", "ssim")
+# Metrics carried out of the TRAIN step: the reference's summary set
+# (loss / psnr / per-frame curves, train_model.py:744-759). The heavier
+# image-quality metrics (windowed SSIM, per-image PSNR) stay in the eval
+# step only — selecting keys here lets XLA dead-code-eliminate their
+# compute from the training program entirely.
+_METRIC_KEYS = ("loss", "psnr_all", "recon_costs", "psnrs", "state_costs")
 
 
 def _loss_fn(params, cfg: ModelConfig, batch, iter_num, rng, remat: bool):

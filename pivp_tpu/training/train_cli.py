@@ -1,7 +1,10 @@
 """Training CLI — same 19 public flags (names, types, defaults) as the
 reference entry point (/root/reference/src/models/train_model.py:772-791),
-plus TPU-native extras (--seed, --compute_dtype, --num_devices, --remat,
---synthetic, --profile_dir).
+plus TPU-native extras: --seed, --image_height/--image_width,
+--compute_dtype, --lstm_gate_compute, --num_devices, --remat,
+--use_pallas, --fused_cdna, --steps_per_call, --scan_unroll, --prefetch,
+--grad_accum, --lazy_load, --u8_transfer, --checkpointer, --synthetic,
+--profile_dir (full descriptions: docs/commands.md).
 
 Usage: python -m pivp_tpu.training.train_cli [OPTIONS]
 """
@@ -99,8 +102,9 @@ from pivp_tpu.utils import logging_utils
 @click.option('--synthetic', type=click.INT, default=0,
               help='Train on N synthetic sequences instead of data_dir.')
 @click.option('--profile_dir', type=click.Path(), default='',
-              help='If set, capture a jax.profiler trace of a few steps '
-                   '(summarize with tools/trace_top_ops.py).')
+              help='If set, capture a jax.profiler trace of the WHOLE '
+                   'run — keep num_iterations small; summarize with '
+                   'tools/trace_top_ops.py.')
 @click.option('--checkpointer', type=click.Choice(['npz', 'orbax']),
               default='npz',
               help='npz = reference artifact contract; orbax adds atomic '

@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 """Serving-artifact export: serialize the feed-self rollout via
 jax.export, reload it WITHOUT model code, and check bit-identical
 outputs vs the live function."""

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pivp_tpu.config import ModelConfig
 from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.data import synthetic

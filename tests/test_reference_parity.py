@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pivp_tpu.config import ModelConfig
 from pivp_tpu.models import predictor
 from pivp_tpu.utils.checkpoint import export_reference_npz

@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 """End-to-end training tests: sharded train step on the virtual 8-device
 CPU mesh, loss decrease on synthetic data, checkpoint round-trip."""
 

@@ -77,6 +77,45 @@ def check(b, h, w_, dtype):
     return ok
 
 
+def check_gates(C, dtype):
+    """Fused ConvLSTM gate kernel (ops/pallas/lstm_gates.py) vs its jnp
+    reference + autodiff, on the real backend."""
+    from pivp_tpu.ops.pallas import lstm_gates as lg
+
+    rng = np.random.RandomState(1)
+    gates = jnp.asarray(rng.randn(4, 16, 16, 4 * C) * 1.5, dtype)
+    c = jnp.asarray(rng.randn(4, 16, 16, C), dtype)
+    gc = jnp.asarray(rng.rand(4, 16, 16, C), dtype)
+    gh = jnp.asarray(rng.rand(4, 16, 16, C), dtype)
+
+    def loss(fn):
+        def l(g_, c_):
+            nc, nh = fn(g_, c_)
+            return jnp.sum((nc * gc + nh * gh).astype(jnp.float32))
+        return jax.jit(jax.grad(l, argnums=(0, 1)))
+
+    kfn = lambda g_, c_: lg.fused_lstm_gates(g_, c_, 1.0)
+    nc, nh = jax.jit(kfn)(gates, c)
+    rnc, rnh = jax.jit(
+        lambda g_, c_: lg.fused_lstm_gates_reference(g_, c_, 1.0))(gates, c)
+    dg, dc = loss(kfn)(gates, c)
+    rdg, rdc = loss(lambda g_, c_:
+                    lg.fused_lstm_gates_reference(g_, c_, 1.0))(gates, c)
+
+    def rel(a, b):
+        return (float(np.abs(np.float32(a) - np.float32(b)).max())
+                / max(1.0, float(np.abs(np.float32(b)).max())))
+
+    errs = {"c": rel(nc, rnc), "h": rel(nh, rnh),
+            "dgates": rel(dg, rdg), "dc": rel(dc, rdc)}
+    tol = TOL[dtype]
+    ok = all(e < tol for e in errs.values())
+    print(json.dumps({"case": f"lstm_gates C{C} {dtype}",
+                      **{k: round(v, 8) for k, v in errs.items()},
+                      "ok": ok}))
+    return ok
+
+
 def main():
     platform = jax.devices()[0].platform
     print(f"backend: {platform}")
@@ -85,6 +124,9 @@ def main():
     ok &= check(8, 64, 64, "bfloat16")
     ok &= check(2, 256, 256, "float32")
     ok &= check(2, 256, 256, "bfloat16")
+    for C in (32, 64, 128):
+        ok &= check_gates(C, "float32")
+        ok &= check_gates(C, "bfloat16")
     sys.exit(0 if ok else 1)
 
 
