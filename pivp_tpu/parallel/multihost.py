@@ -135,20 +135,23 @@ class HostShardedBatcher:
         return self.local.is_new_epoch
 
 
-def make_global_batch(mesh: Mesh, host_batch, global_batch: int):
+def make_global_batch(mesh: Mesh, host_batch, global_batch: int,
+                      batch_axis: int = 1):
     """Assemble one global time-major batch from this process's local
     rows via `jax.make_array_from_process_local_data`.
 
     host_batch: (images (T, B_local, H, W, C), actions (T, B_local, A),
     states (T, B_local, S)) numpy arrays. Returns the same tuple as
     global jax.Arrays sharded P(None, 'data', ...) over `mesh` (which
-    may span processes).
+    may span processes). `batch_axis=2` handles K-stacked payloads
+    (K, T, B_local, ...) from the K-steps-per-dispatch path.
     """
     out = []
     for arr in host_batch:
-        spec = P(None, mesh_lib.DATA_AXIS)
+        spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
         sharding = NamedSharding(mesh, spec)
-        global_shape = (arr.shape[0], global_batch) + arr.shape[2:]
+        global_shape = (arr.shape[:batch_axis] + (global_batch,)
+                        + arr.shape[batch_axis + 1:])
         out.append(jax.make_array_from_process_local_data(
             sharding, np.ascontiguousarray(arr), global_shape))
     return tuple(out)

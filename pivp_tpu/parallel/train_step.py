@@ -335,5 +335,12 @@ def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
 
     repl = NamedSharding(mesh, P())
     bsh = mesh_lib.batch_sharding(mesh)
+    kwargs = {}
+    if jax.process_count() > 1:
+        # Multi-host: validation fetches the per-(frame, sequence)
+        # metric matrices on every process; batch-sharded outputs would
+        # span non-addressable devices, so replicate them (XLA inserts
+        # the all-gather).
+        kwargs["out_shardings"] = repl
     return jax.jit(eval_step,
-                   in_shardings=(repl, (bsh, bsh, bsh), repl))
+                   in_shardings=(repl, (bsh, bsh, bsh), repl), **kwargs)

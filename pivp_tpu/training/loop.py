@@ -36,6 +36,7 @@ from pivp_tpu import config as config_mod
 from pivp_tpu.config import ModelConfig, TrainConfig
 from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.parallel import mesh as mesh_lib
+from pivp_tpu.parallel import multihost
 from pivp_tpu.parallel import train_step as ts_lib
 from pivp_tpu.utils import checkpoint as ckpt_lib
 from pivp_tpu.utils import logging_utils
@@ -65,9 +66,40 @@ def run_training(cfg: TrainConfig,
         "Data set contains %d sequences: %d train / %d validation",
         n_total, train_arrays[0].shape[0], val_arrays[0].shape[0])
 
-    n_dev = mesh_lib.auto_num_devices(cfg.batch_size, cfg.num_devices)
-    mesh = mesh_lib.make_mesh(n_dev)
-    logger.info("Mesh: %d-way data parallel", n_dev)
+    # Multi-host (pod) mode: when train_cli initialized
+    # jax.distributed, every process runs this same driver; the batch is
+    # assembled from per-host shards (parallel/multihost.py) and only
+    # process 0 touches the filesystem. Single-process runs see
+    # (pi, pc) == (0, 1) and none of this branches.
+    pi, pc = multihost.process_info()
+    is_primary = pi == 0
+    if pc > 1:
+        if cfg.checkpointer == "orbax":
+            raise ValueError("--checkpointer orbax is single-host for "
+                             "now (resume would need a state broadcast);"
+                             " use npz in multi-host runs")
+        # Equal host shards keep every process's epoch schedule — and
+        # therefore the collective validation sweeps — in lockstep.
+        n_tr = train_arrays[0].shape[0]
+        usable = n_tr - n_tr % pc
+        if usable == 0:
+            raise ValueError(f"{n_tr} train sequences cannot cover "
+                             f"{pc} processes")
+        if usable != n_tr:
+            train_arrays = tuple(a[:usable] for a in train_arrays)
+            logger.info("Multi-host: trimmed %d train rows for equal "
+                        "host shards", n_tr - usable)
+        n_dev = len(jax.devices())
+        if cfg.batch_size % n_dev:
+            raise ValueError(f"multi-host batch {cfg.batch_size} must "
+                             f"divide the {n_dev} global devices")
+        mesh = mesh_lib.make_mesh()          # every global device
+        logger.info("Mesh: %d-way data parallel over %d processes "
+                    "(this is host %d)", n_dev, pc, pi)
+    else:
+        n_dev = mesh_lib.auto_num_devices(cfg.batch_size, cfg.num_devices)
+        mesh = mesh_lib.make_mesh(n_dev)
+        logger.info("Mesh: %d-way data parallel", n_dev)
     optimizer = ts_lib.make_optimizer(cfg.learning_rate)
     state = ts_lib.create_train_state(jax.random.PRNGKey(cfg.seed), mcfg,
                                       optimizer)
@@ -129,8 +161,15 @@ def run_training(cfg: TrainConfig,
             logger.info("Resumed from orbax checkpoint step %d in %s",
                         latest, save_dir)
 
-    batcher = dataset_lib.EpochBatcher(train_arrays, cfg.batch_size,
-                                       seed=cfg.seed)
+    if pc > 1:
+        # Each host draws only its own row shard; the global batch is
+        # the concatenation over hosts (multihost.make_global_batch).
+        batcher = multihost.HostShardedBatcher(
+            train_arrays, cfg.batch_size, seed=cfg.seed,
+            process_index=pi, process_count=pc)
+    else:
+        batcher = dataset_lib.EpochBatcher(train_arrays, cfg.batch_size,
+                                           seed=cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     global_losses: List[List[float]] = []
@@ -152,11 +191,14 @@ def run_training(cfg: TrainConfig,
         # checkpoint, and abort (no reference equivalent — its only
         # sanitizer was chainer debug-mode NaN checks).
         if cfg.nan_guard and not np.isfinite(losses_np).all():
-            save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
-            _save_checkpoint(save_dir, f"nan-epoch{epoch}", state,
-                             global_losses, global_psnr_all,
-                             global_losses_valid, global_psnr_all_valid,
-                             manager=ckpt_manager)
+            if is_primary:
+                save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir,
+                                                    run_name)
+                _save_checkpoint(save_dir, f"nan-epoch{epoch}", state,
+                                 global_losses, global_psnr_all,
+                                 global_losses_valid,
+                                 global_psnr_all_valid,
+                                 manager=ckpt_manager)
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}; emergency "
                 f"checkpoint saved to {save_dir}")
@@ -167,7 +209,7 @@ def run_training(cfg: TrainConfig,
         if step_timer is not None and step_timer.times:
             logger.info("[TIMER] per-dispatch %s", step_timer.summary())
             step_timer.times.clear()
-        _write_event(cfg.event_log_dir, run_name, {
+        _write_event(cfg.event_log_dir if is_primary else "", run_name, {
             "epoch": epoch, "iteration": itr,
             "train_loss": logging_utils.epoch_stats(list(losses_np)),
             "train_psnr": logging_utils.epoch_stats(list(psnr_np)),
@@ -183,7 +225,8 @@ def run_training(cfg: TrainConfig,
                 and val_arrays[0].shape[0] > 0):
             v = run_validation(eval_step, state.params, val_arrays,
                                cfg.batch_size, mcfg.state_cost_weight,
-                               mesh, u8_transfer=cfg.u8_transfer)
+                               mesh, u8_transfer=cfg.u8_transfer,
+                               process_index=pi, process_count=pc)
             global_losses_valid.append(
                 logging_utils.epoch_stats([v["loss"]]))
             global_psnr_all_valid.append(
@@ -193,7 +236,8 @@ def run_training(cfg: TrainConfig,
                 "per-image-psnr: %.3f dB  ssim: %.4f  (n=%d)",
                 epoch, v["loss"], v["psnr_all"], v["psnr_per_image"],
                 v["ssim"], v["n_sequences"])
-            _write_event(cfg.event_log_dir, run_name, {
+            _write_event(cfg.event_log_dir if is_primary else "",
+                         run_name, {
                 "epoch": epoch, "iteration": itr, "split": "validation",
                 "loss": logging_utils.epoch_stats([v["loss"]]),
                 "psnr_all": logging_utils.epoch_stats([v["psnr_all"]]),
@@ -203,7 +247,7 @@ def run_training(cfg: TrainConfig,
             })
 
         # --- periodic checkpoint ----------------------------------------
-        if epoch % cfg.save_interval == 0:
+        if epoch % cfg.save_interval == 0 and is_primary:
             save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
             _save_checkpoint(save_dir, epoch, state, global_losses,
                              global_psnr_all, global_losses_valid,
@@ -215,7 +259,8 @@ def run_training(cfg: TrainConfig,
     # calls so host assembly overlaps device compute. Metric arrays are
     # kept as device values until the epoch flush — fetching them eagerly
     # would block the dispatch pipeline on every call.
-    calls = _produce_calls(batcher, cfg, itr, mesh, steps_per_call)
+    calls = _produce_calls(batcher, cfg, itr, mesh, steps_per_call,
+                           process_count=pc)
     if cfg.prefetch > 0:
         calls = _Prefetcher(calls, cfg.prefetch)
 
@@ -275,11 +320,12 @@ def run_training(cfg: TrainConfig,
         epoch_start = time.time()
 
     # Final checkpoint.
-    save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
-    _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
-                     global_psnr_all, global_losses_valid,
-                     global_psnr_all_valid, final=True,
-                     manager=ckpt_manager)
+    if is_primary:
+        save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
+        _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
+                         global_psnr_all, global_losses_valid,
+                         global_psnr_all_valid, final=True,
+                         manager=ckpt_manager)
 
     return {
         "state": state,
@@ -294,7 +340,8 @@ def run_training(cfg: TrainConfig,
 
 def run_validation(eval_step, params, val_arrays, batch_size: int,
                    state_cost_weight: float, mesh=None,
-                   u8_transfer: bool = False) -> Dict[str, float]:
+                   u8_transfer: bool = False, process_index: int = 0,
+                   process_count: int = 1) -> Dict[str, float]:
     """One exact validation sweep.
 
     Aggregates per-(frame, sequence) metric matrices from the eval step,
@@ -308,7 +355,16 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
                                                     batch_size):
         if u8_transfer:
             vbatch = (_quantize_images(vbatch[0]), vbatch[1], vbatch[2])
-        if mesh is not None:
+        if process_count > 1:
+            # Every host sees the full val set; each contributes only
+            # its column range of the (identical) global eval batch, so
+            # the collective program runs on the same data everywhere.
+            lbs = batch_size // process_count
+            cols = slice(process_index * lbs, (process_index + 1) * lbs)
+            vbatch = tuple(a[:, cols] for a in vbatch)
+            vbatch = multihost.make_global_batch(mesh, vbatch,
+                                                 batch_size)
+        elif mesh is not None:
             vbatch = mesh_lib.shard_batch(mesh, vbatch)
         out = eval_step(params, vbatch, jax.random.PRNGKey(0))
         recon_cols.append(np.asarray(out["recon_mse_tb"])[:, :n_valid])
@@ -333,7 +389,7 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
 
 
 def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
-                   steps_per_call: int):
+                   steps_per_call: int, process_count: int = 1):
     """Yield (payload, k_real, marks) device-call descriptions.
 
     payload is one batch (steps_per_call == 1) or K stacked batches, u8-
@@ -373,7 +429,13 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
             # fine for uint8 (~100 MB each at the bench config) but can
             # RESOURCE_EXHAUSTED with f32 frames (~400 MB each, ~3.5 GB
             # at T=30) — those transfer on dequeue as before.
-            if mesh.size > 1:
+            if process_count > 1:
+                # Pod path: every process contributes its local rows of
+                # the global batch (spans processes — plain device_put
+                # cannot build such an array).
+                stacked = multihost.make_global_batch(
+                    mesh, stacked, cfg.batch_size, batch_axis=2)
+            elif mesh.size > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 stacked = jax.device_put(stacked, NamedSharding(
                     mesh, P(None, None, mesh_lib.DATA_AXIS)))
@@ -389,7 +451,10 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
             # Same HBM-staging policy as the K-path: device_put on the
             # producer thread only for u8 payloads or multi-device
             # sharding; f32 single-device batches transfer at dispatch.
-            if mesh.size > 1 or cfg.u8_transfer:
+            if process_count > 1:
+                batch = multihost.make_global_batch(mesh, batch,
+                                                    cfg.batch_size)
+            elif mesh.size > 1 or cfg.u8_transfer:
                 batch = mesh_lib.shard_batch(mesh, batch)
             yield batch, 1, marks
             itr += 1

@@ -112,6 +112,19 @@ from pivp_tpu.utils import logging_utils
 @click.option('--run_name', type=click.STRING, default='',
               help='Run directory name (default: timestamped). Reuse a '
                    'name with --checkpointer orbax to resume that run.')
+@click.option('--coordinator_address', type=click.STRING, default='',
+              help='Multi-host (pod) mode: host:port of process 0. '
+                   'Launch one identical process per host, each with '
+                   '--num_processes and its own --process_id; batches '
+                   'are assembled from per-host shards and only '
+                   'process 0 writes checkpoints. Empty (default) = '
+                   'single-process, or auto-detect a cluster env.')
+@click.option('--num_processes', type=click.INT, default=0,
+              help='Multi-host: total process count (with '
+                   '--coordinator_address).')
+@click.option('--process_id', type=click.INT, default=-1,
+              help='Multi-host: this process\'s id in [0, '
+                   'num_processes).')
 def main(data_dir, output_dir, event_log_dir, num_iterations,
          pretrained_model, pretrained_state, sequence_length,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
@@ -120,7 +133,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          num_devices, remat, use_pallas, fused_cdna, u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
-         run_name):
+         run_name, coordinator_address, num_processes, process_id):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -128,6 +141,17 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
 
     from pivp_tpu.utils import compile_cache
     compile_cache.enable()
+
+    # Multi-host init MUST precede any backend touch (model_config()
+    # queries the backend below). No-op for plain single-host runs.
+    from pivp_tpu.parallel import multihost
+    if coordinator_address:
+        multihost.initialize(coordinator_address, num_processes,
+                             process_id)
+        logger.info('Multi-host: process %d/%d',
+                    *multihost.process_info())
+    else:
+        multihost.initialize()     # cluster-env auto-detection
 
     if debug:
         import jax

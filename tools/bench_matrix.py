@@ -37,24 +37,38 @@ CONFIGS = [
     ("CDNA b32 k-annealed sched-sampling", "CDNA", 10, 32, 900.0),
 ]
 
+# Batch / resolution scaling beyond the reference config (--scaling):
+# (tag, batch, H, W, remat, K_override). 256x256 exercises the H-tiled
+# Pallas local-apply path in a full training step; remat keeps the
+# unrolled 16x-pixel activations inside HBM.
+SCALING_CONFIGS = [
+    ("CDNA b64 64x64", 64, 64, 64, False, None),
+    ("CDNA b128 64x64", 128, 64, 64, False, None),
+    ("CDNA b4 256x256 (H-tiled Pallas)", 4, 256, 256, False, 4),
+]
 
-def bench_config(tag, model_type, num_masks, batch, k_sched):
+
+def bench_config(tag, model_type, num_masks, batch, k_sched,
+                 height=64, width=64, remat=False, k_steps=None):
+    k_steps = k_steps or K
     cfg = ModelConfig(model_type=model_type, num_masks=num_masks,
                       sequence_length=SEQ, context_frames=CONTEXT,
                       scheduled_sampling_k=k_sched,
+                      image_height=height, image_width=width,
                       compute_dtype="bfloat16",
                       use_pallas=model_type != "STP",
-                      scan_unroll=SEQ - 1,
+                      scan_unroll=0 if remat else SEQ - 1,
                       lstm_gate_compute="compute")
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
-    multi = ts_lib.make_train_multi(cfg, opt, mesh=None)
+    multi = ts_lib.make_train_multi(cfg, opt, mesh=None, remat=remat)
 
-    imgs, acts, stas = synthetic.generate_sequences(batch * K, SEQ)
+    imgs, acts, stas = synthetic.generate_sequences(
+        batch * k_steps, SEQ, height, width)
 
     def stack(x):
         return np.ascontiguousarray(
-            x.reshape(K, batch, *x.shape[1:]).swapaxes(1, 2))
+            x.reshape(k_steps, batch, *x.shape[1:]).swapaxes(1, 2))
 
     batches = jax.tree_util.tree_map(
         jnp.asarray, tuple(stack(a) for a in (imgs, acts, stas)))
@@ -64,12 +78,12 @@ def bench_config(tag, model_type, num_masks, batch, k_sched):
     float(np.asarray(m["loss"])[-1])
     t0 = time.perf_counter()
     for r in range(ROUNDS):
-        state, m = multi(state, batches, jnp.float32((r + 1) * K),
+        state, m = multi(state, batches, jnp.float32((r + 1) * k_steps),
                          jax.random.PRNGKey(1))
     final_loss = float(np.asarray(m["loss"])[-1])
     dt = time.perf_counter() - t0
 
-    sps = ROUNDS * K / dt
+    sps = ROUNDS * k_steps / dt
     fps = sps * batch * (SEQ - CONTEXT)
     print(json.dumps({
         "metric": f"{tag} train throughput",
@@ -83,5 +97,10 @@ def bench_config(tag, model_type, num_masks, batch, k_sched):
 
 
 if __name__ == "__main__":
-    for spec in CONFIGS:
-        bench_config(*spec)
+    if "--scaling" in sys.argv:
+        for tag, b, h, w, remat, ko in SCALING_CONFIGS:
+            bench_config(tag, "CDNA", 10, b, 900.0, height=h, width=w,
+                         remat=remat, k_steps=ko)
+    else:
+        for spec in CONFIGS:
+            bench_config(*spec)
