@@ -72,6 +72,27 @@ def process_info() -> Tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def agree_string(s: str, max_len: int = 128) -> str:
+    """All processes adopt process 0's value of a short string.
+
+    Used for the timestamped run name: hosts can cross a second boundary
+    during startup and disagree on `time.strftime`, but collective
+    checkpointing (orbax) requires every process to address the SAME
+    run directory. No-op (returns `s`) in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    raw = s.encode()
+    if len(raw) > max_len:
+        raise ValueError(f"string longer than {max_len} bytes: {s!r}")
+    buf = np.zeros(max_len, np.uint8)
+    buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode()
+
+
 def shard_rows(n_rows: int, process_index: int,
                process_count: int) -> range:
     """Contiguous per-host row assignment covering [0, n_rows) exactly

@@ -74,10 +74,6 @@ def run_training(cfg: TrainConfig,
     pi, pc = multihost.process_info()
     is_primary = pi == 0
     if pc > 1:
-        if cfg.checkpointer == "orbax":
-            raise ValueError("--checkpointer orbax is single-host for "
-                             "now (resume would need a state broadcast);"
-                             " use npz in multi-host runs")
         # Equal host shards keep every process's epoch schedule — and
         # therefore the collective validation sweeps — in lockstep.
         n_tr = train_arrays[0].shape[0]
@@ -144,6 +140,10 @@ def run_training(cfg: TrainConfig,
     if run_name is None:
         run_name = "{0}-{1}-{2}".format(
             time.strftime("%Y%m%d-%H%M%S"), cfg.model_type, cfg.batch_size)
+    if pc > 1:
+        # Hosts can cross a second boundary during startup; collective
+        # checkpointing needs every process on the same run directory.
+        run_name = multihost.agree_string(run_name)
     save_dir = None
 
     itr = 0
@@ -151,12 +151,21 @@ def run_training(cfg: TrainConfig,
     if cfg.checkpointer == "orbax":
         from pivp_tpu.utils import orbax_ckpt
 
+        # Collective: in multi-host runs EVERY process creates the
+        # manager and participates in save/restore (orbax coordinates
+        # through the jax.distributed KV store; cfg.output_dir must be a
+        # shared filesystem on a pod).
         save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
         ckpt_manager = orbax_ckpt.make_manager(
             os.path.join(save_dir, "orbax"))
         latest = ckpt_manager.latest_step()
         if latest is not None:
-            state = orbax_ckpt.restore(ckpt_manager, state)
+            # Restore via a host-side (numpy) template: values in the
+            # checkpoint are replicated, so every process reads the full
+            # arrays and feeds them to the jitted step exactly like a
+            # fresh `create_train_state` — no sharded-restore machinery.
+            state = orbax_ckpt.restore(ckpt_manager,
+                                       jax.device_get(state))
             itr = int(state.step)
             logger.info("Resumed from orbax checkpoint step %d in %s",
                         latest, save_dir)
@@ -191,14 +200,17 @@ def run_training(cfg: TrainConfig,
         # checkpoint, and abort (no reference equivalent — its only
         # sanitizer was chainer debug-mode NaN checks).
         if cfg.nan_guard and not np.isfinite(losses_np).all():
-            if is_primary:
+            # The losses are replicated, so EVERY process enters this
+            # branch — the orbax emergency save below stays collective.
+            if is_primary or ckpt_manager is not None:
                 save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir,
                                                     run_name)
                 _save_checkpoint(save_dir, f"nan-epoch{epoch}", state,
                                  global_losses, global_psnr_all,
                                  global_losses_valid,
                                  global_psnr_all_valid,
-                                 manager=ckpt_manager)
+                                 manager=ckpt_manager,
+                                 primary=is_primary)
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}; emergency "
                 f"checkpoint saved to {save_dir}")
@@ -247,11 +259,16 @@ def run_training(cfg: TrainConfig,
             })
 
         # --- periodic checkpoint ----------------------------------------
-        if epoch % cfg.save_interval == 0 and is_primary:
+        # npz/curve files are primary-only; orbax saves are COLLECTIVE
+        # (all processes reach this at the same epochs — the epoch
+        # bookkeeping is replicated).
+        if epoch % cfg.save_interval == 0 and (
+                is_primary or ckpt_manager is not None):
             save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
             _save_checkpoint(save_dir, epoch, state, global_losses,
                              global_psnr_all, global_losses_valid,
-                             global_psnr_all_valid, manager=ckpt_manager)
+                             global_psnr_all_valid, manager=ckpt_manager,
+                             primary=is_primary)
 
     # Input pipeline: batch assembly (index-gather + transpose + u8
     # quantization + optional device_put) runs in _produce_calls; with
@@ -320,12 +337,12 @@ def run_training(cfg: TrainConfig,
         epoch_start = time.time()
 
     # Final checkpoint.
-    if is_primary:
+    if is_primary or ckpt_manager is not None:
         save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
         _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
                          global_psnr_all, global_losses_valid,
                          global_psnr_all_valid, final=True,
-                         manager=ckpt_manager)
+                         manager=ckpt_manager, primary=is_primary)
 
     return {
         "state": state,
@@ -564,17 +581,23 @@ def _write_event(event_log_dir: str, run_name: str, record: Dict) -> None:
 def _save_checkpoint(save_dir: str, epoch: int, state, global_losses,
                      global_psnr_all, global_losses_valid,
                      global_psnr_all_valid, final: bool = False,
-                     manager=None) -> None:
+                     manager=None, primary: bool = True) -> None:
+    """Write the reference npz/curve artifacts (primary process only) and,
+    when an orbax manager is given, a collective orbax checkpoint (every
+    process must call this — orbax barriers across the cluster)."""
     tag = "final" if final else str(epoch)
-    ckpt_lib.save_npz(os.path.join(save_dir, f"training-{tag}"),
-                      jax.device_get(state.params))
-    ckpt_lib.save_npz(os.path.join(save_dir, f"state-{tag}"),
-                      jax.device_get(state.opt_state))
+    if primary:
+        ckpt_lib.save_npz(os.path.join(save_dir, f"training-{tag}"),
+                          jax.device_get(state.params))
+        ckpt_lib.save_npz(os.path.join(save_dir, f"state-{tag}"),
+                          jax.device_get(state.opt_state))
     if manager is not None:
         from pivp_tpu.utils import orbax_ckpt
 
         orbax_ckpt.save(manager, int(state.step),
                         jax.device_get(state))
+    if not primary:
+        return
     np.save(os.path.join(save_dir, "training-global_losses"),
             np.asarray(global_losses))
     np.save(os.path.join(save_dir, "training-global_psnr_all"),

@@ -4,7 +4,9 @@ plus TPU-native extras: --seed, --image_height/--image_width,
 --compute_dtype, --lstm_gate_compute, --num_devices, --remat,
 --use_pallas, --fused_cdna, --steps_per_call, --scan_unroll, --prefetch,
 --grad_accum, --lazy_load, --u8_transfer, --checkpointer, --synthetic,
---profile_dir (full descriptions: docs/commands.md).
+--profile_dir, --run_name, and the multi-host (pod) trio
+--coordinator_address/--num_processes/--process_id (full descriptions:
+docs/commands.md).
 
 Usage: python -m pivp_tpu.training.train_cli [OPTIONS]
 """
@@ -116,9 +118,10 @@ from pivp_tpu.utils import logging_utils
               help='Multi-host (pod) mode: host:port of process 0. '
                    'Launch one identical process per host, each with '
                    '--num_processes and its own --process_id; batches '
-                   'are assembled from per-host shards and only '
-                   'process 0 writes checkpoints. Empty (default) = '
-                   'single-process, or auto-detect a cluster env.')
+                   'are assembled from per-host shards; npz artifacts '
+                   'are written by process 0, orbax checkpoints '
+                   'collectively (shared filesystem). Empty (default) '
+                   '= single-process, or auto-detect a cluster env.')
 @click.option('--num_processes', type=click.INT, default=0,
               help='Multi-host: total process count (with '
                    '--coordinator_address).')

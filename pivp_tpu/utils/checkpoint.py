@@ -253,7 +253,9 @@ def git_version() -> Optional[str]:
 def prepare_run_dir(output_dir: str, run_name: str) -> str:
     save_dir = os.path.join(output_dir, run_name)
     if not os.path.exists(save_dir):
-        os.makedirs(save_dir)
+        # exist_ok: in multi-host runs every process prepares the same
+        # run directory on a shared filesystem (collective orbax saves).
+        os.makedirs(save_dir, exist_ok=True)
         version = git_version()
         if version is not None:
             with open(os.path.join(save_dir, "version"), "w") as f:

@@ -51,6 +51,9 @@ def main() -> None:
         if mode == "driver":
             run_driver(pi, pc, outfile)
             return
+        if mode == "driver_orbax":
+            run_driver_orbax(pi, pc, outfile)
+            return
         assert mode == "step", mode
         run_step(pi, pc, outfile)
     finally:
@@ -150,6 +153,62 @@ def run_driver(pi: int, pc: int, outfile: str) -> None:
         json.dump({"process": pi, "losses": losses,
                    "checksum": checksum, "wrote": wrote,
                    "save_dir": result["save_dir"]}, f)
+
+
+def run_driver_orbax(pi: int, pc: int, outfile: str) -> None:
+    """Collective orbax checkpointing on a real 2-process cluster: every
+    process participates in the save barriers (shared run directory, as
+    on a pod's shared filesystem), and a second driver invocation
+    auto-resumes from the collectively-written checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pivp_tpu.config import TrainConfig
+    from pivp_tpu.data import synthetic
+    from pivp_tpu.training import loop
+
+    # SHARED directory across processes — orbax saves are collective.
+    out_dir = os.path.join(os.path.dirname(outfile), "run-shared")
+    base = dict(
+        output_dir=out_dir, event_log_dir=out_dir,
+        sequence_length=4, context_frames=2,
+        image_height=16, image_width=16, num_masks=3,
+        schedsamp_k=-1.0, batch_size=4, train_val_split=0.95,
+        validation_interval=10, save_interval=1, seed=0,
+        checkpointer="orbax", prefetch=0)
+    arrays = synthetic.generate_sequences(12, 4, 16, 16, seed=0)
+
+    def checksum(params):
+        return float(jax.device_get(jax.jit(
+            lambda p: jax.tree_util.tree_reduce(
+                jnp.add, jax.tree_util.tree_map(
+                    lambda x: jnp.sum(jnp.abs(x)), p)))(params)))
+
+    r1 = loop.run_training(TrainConfig(num_iterations=4, **base),
+                           arrays=arrays, run_name="podorbax")
+    step1 = int(jax.device_get(r1["state"].step))
+
+    # Second invocation, same run_name: resumes from the collective
+    # checkpoint and trains on to 8 total iterations.
+    r2 = loop.run_training(TrainConfig(num_iterations=8, **base),
+                           arrays=arrays, run_name="podorbax")
+    step2 = int(jax.device_get(r2["state"].step))
+
+    from pivp_tpu.utils import orbax_ckpt
+    mgr = orbax_ckpt.make_manager(
+        os.path.join(out_dir, "podorbax", "orbax"))
+    orbax_steps = sorted(int(s) for s in mgr.all_steps())
+
+    losses1 = np.asarray(r1["global_losses"])[:, 0].tolist()
+    losses2 = np.asarray(r2["global_losses"])[:, 0].tolist()
+    with open(outfile, "w") as f:
+        json.dump({"process": pi,
+                   "step1": step1, "step2": step2,
+                   "checksum1": checksum(r1["state"].params),
+                   "checksum2": checksum(r2["state"].params),
+                   "losses1": losses1, "losses2": losses2,
+                   "orbax_steps": orbax_steps}, f)
 
 
 if __name__ == "__main__":

@@ -108,6 +108,32 @@ def test_two_process_full_driver(tmp_path):
     assert results[0]["save_dir"] and results[1]["save_dir"] is None
 
 
+def test_two_process_orbax_checkpointing(tmp_path):
+    """Collective orbax save + auto-resume on a real 2-process cluster:
+    both processes write to ONE shared run directory (pod shared-fs
+    model), the save barriers complete, and a second driver invocation
+    resumes from the collectively-written checkpoint."""
+    results = _run_cluster("driver_orbax", tmp_path)
+
+    # One program across processes, in both invocations.
+    for key in ("step1", "step2", "checksum1", "checksum2",
+                "losses1", "losses2", "orbax_steps"):
+        assert results[0][key] == results[1][key], key
+
+    # First run trained to step 4; the second resumed there (not from 0)
+    # and continued to 8.
+    assert results[0]["step1"] == 4
+    assert results[0]["step2"] == 8
+    assert results[0]["checksum2"] != results[0]["checksum1"]
+    assert all(np.isfinite(results[0]["losses1"]))
+    assert all(np.isfinite(results[0]["losses2"]))
+
+    # The shared manager holds checkpoints from both invocations, and
+    # the resumed run saved past the first run's final step.
+    steps = results[0]["orbax_steps"]
+    assert 4 in steps and 8 in steps, steps
+
+
 def _single_process_reference():
     """Replays the exact global-batch composition the two workers
     produce (host-disjoint shards, per-host seeds, concat in process

@@ -8,16 +8,23 @@ channels should cost the SAME wall time as 32 — in which case packing
 two 32-ch stages into one 64-ch conv cannot reduce MXU time, only
 (maybe) fusion count; while padding a single stage 32->64 strictly adds
 work. This probe times the model's actual conv shapes (B=32, the bench
-config) at output-channel counts {3, 8, 32, 64, 128} with a host-fetch
-barrier, forward and forward+backward.
+config) at output-channel counts {3, 32, 64, 128}, forward and
+forward+backward.
+
+Measurement is DEVICE-SIDE: each config's scan runs once under a
+jax.profiler trace and the per-conv time is the summed device op time
+from the xplane divided by the scan length. Host-side wall timing is
+useless on a remote-attached chip — the tunnel RTT jitter (tens of ms)
+exceeds the total measured compute even with two-point subtraction.
 
 Run on TPU: python tools/bench_conv_channels.py
 """
 
 import json
 import os
+import shutil
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -30,8 +37,10 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from tools import trace_top_ops  # noqa: E402
+
 B = 32
-REPS = 50   # conv applications per timed dispatch (scan)
+REPS = 512   # conv applications in the one traced dispatch
 
 # (tag, H, W, C_in, kh, stride) — the trunk stages whose small channel
 # counts the round-3 floor trace blamed (BENCHMARKS.md "Round 3").
@@ -42,7 +51,7 @@ SHAPES = [
     ("enc7-like 64x64 cin64 1x1 s1", 64, 64, 64, 1, 1),
 ]
 
-COUTS = [3, 8, 32, 64, 128]
+COUTS = [3, 32, 64, 128]
 
 
 def time_conv(h, w, cin, kh, stride, cout, backward):
@@ -56,36 +65,55 @@ def time_conv(h, w, cin, kh, stride, cout, backward):
             x, k, (stride, stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+    # The carry must GENUINELY evolve with each iteration's result — a
+    # `* 0.0` feedback gets constant-folded, leaving the loop body
+    # invariant, and XLA's while-loop LICM then hoists the whole conv
+    # (or grad) out of the scan, timing nothing. A tiny but nonzero
+    # scalar feedback (~1e-6 drift on 0.1-scale weights) defeats both
+    # folding and hoisting while leaving the conv shapes unchanged.
+    # The backward loss must be NONLINEAR in the kernel (squared), or
+    # its gradient is kernel-independent and LICM hoists it; grads are
+    # taken w.r.t. BOTH kernel and input so the body contains the three
+    # convs of a training step: forward + kernel-grad + input-grad.
     if backward:
-        def one(k):
-            def loss(k):
-                return jnp.sum(conv(x, k).astype(jnp.float32))
-            return jax.grad(loss)(k)
+        def body(carry, _):
+            c, xi = carry
 
-        def body(c, _):
-            g = one(c)
-            return (c + 0e0 * g).astype(k.dtype), jnp.sum(
-                g.astype(jnp.float32))
+            def loss(c, xi):
+                y = conv(xi, c)
+                return jnp.sum(jnp.square(y.astype(jnp.float32)))
+            gc, gx = jax.grad(loss, argnums=(0, 1))(c, xi)
+            s = jnp.sum(gc.astype(jnp.float32)) * 1e-12
+            return (c + s.astype(c.dtype),
+                    xi + (jnp.sum(gx.astype(jnp.float32))
+                          * 1e-12).astype(xi.dtype)), None
+
+        @jax.jit
+        def run(k):
+            (c, xo), _ = jax.lax.scan(body, (k, x), None, length=REPS)
+            return (jnp.sum(c.astype(jnp.float32))
+                    + jnp.sum(xo.astype(jnp.float32)))
     else:
         def body(c, _):
             y = conv(x, c)
-            # Fold the output back into the carry so REPS convs chain
-            # (prevents XLA from collapsing the scan to one conv).
-            upd = jnp.sum(y.astype(jnp.float32)) * 0e0
-            return (c + upd).astype(k.dtype), upd
+            upd = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(k.dtype)
+            return c + upd, None
 
-    @jax.jit
-    def run(k):
-        c, outs = jax.lax.scan(body, k, None, length=REPS)
-        return jnp.sum(outs) + jnp.sum(c.astype(jnp.float32))
+        @jax.jit
+        def run(k):
+            c, _ = jax.lax.scan(body, k, None, length=REPS)
+            return jnp.sum(c.astype(jnp.float32))
 
     float(run(k))          # compile + warmup, host-fetch barrier
-    t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
-        float(run(k))
-    dt = (time.perf_counter() - t0) / (n * REPS)
-    return dt * 1e6        # us per conv application
+    tdir = tempfile.mkdtemp(prefix="convprobe-")
+    try:
+        with jax.profiler.trace(tdir):
+            float(run(k))  # the one traced dispatch
+        xs = trace_top_ops.load_xspace(trace_top_ops.find_xplane(tdir))
+        _, _, span_ps = trace_top_ops.device_op_totals(xs)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return span_ps / 1e6 / REPS   # us of device op time per conv
 
 
 def main():
@@ -94,7 +122,7 @@ def main():
             row = {"shape": tag, "pass": "fwd+bwd" if backward else "fwd"}
             for cout in COUTS:
                 row[f"cout{cout}_us"] = round(
-                    time_conv(h, w, cin, kh, stride, cout, backward), 2)
+                    time_conv(h, w, cin, kh, stride, cout, backward), 3)
             print(json.dumps(row), flush=True)
 
 
