@@ -114,6 +114,16 @@ class ModelConfig:
     # (B, M, H, W, C) transformed stack. Disable to run the literal
     # candidate-stack formulation.
     fused_cdna: bool = True
+    # Evaluate the compositing-mask deconv and the head's enc7 deconv —
+    # two 1x1 stride-1 convs on the SAME enc6 input (train_model.py:527
+    # and :288/:364/:429) — as ONE conv with concatenated output
+    # channels, then split. Algebraically exact per output channel (the
+    # channel axis is the GEMM N dim; each column's dot product is
+    # unchanged). Measured on v5e (tools/bench_conv_channels.py): a
+    # cout=3 64x64 1x1 conv costs 155 us fwd+bwd vs 191 us at cout=32 —
+    # these small-N convs are latency-bound, so the merge saves ~one
+    # conv's worth per timestep (~1.4 ms/step at the bench config).
+    merge_output_convs: bool = True
     # Use the Pallas local-kernel-apply op for the K*K tap application in
     # the fused CDNA / DNA paths (TPU only; falls back to XLA otherwise).
     use_pallas: bool = False
@@ -219,6 +229,8 @@ class TrainConfig:
     use_pallas: int = -1
     # Fused CDNA+composite evaluation (see ModelConfig.fused_cdna).
     fused_cdna: bool = True
+    # One merged masks+enc7 output conv (see ModelConfig.merge_output_convs).
+    merge_output_convs: bool = True
     # Optimizer steps executed per device dispatch (amortizes host/tunnel
     # latency; per-iteration metrics are still recorded, and epoch
     # bookkeeping splits metric arrays at the exact step). 0 = auto:
@@ -292,5 +304,6 @@ class TrainConfig:
             # kernel"). Kept for explicit experimentation.
             use_pallas_gates=False,
             fused_cdna=self.fused_cdna,
+            merge_output_convs=self.merge_output_convs,
             scan_unroll=unroll,
         )

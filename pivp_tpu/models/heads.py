@@ -46,13 +46,19 @@ def cdna_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
 
 
 def cdna_head_parts(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
-                    hidden5: jnp.ndarray
+                    hidden5: jnp.ndarray, enc7_raw=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shared CDNA computations: synthesized frame + normalized kernels.
-    Returns (synth (B,H,W,C), kerns (B,M,K*K), enc7)."""
+    Returns (synth (B,H,W,C), kerns (B,M,K*K), enc7).
+
+    `enc7_raw`, when given, is the pre-activation enc7 already computed
+    by the trunk's merged masks+enc7 conv (ModelConfig.merge_output_convs)
+    and replaces the head's own deconv."""
     b = enc6.shape[0]
-    enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
-                                       padding=0))
+    if enc7_raw is None:
+        enc7_raw = layers.deconv2d(params["enc7"], enc6, stride=1,
+                                   padding=0)
+    enc7 = jax.nn.relu(enc7_raw)
     synth = jax.nn.sigmoid(enc7)
     raw = layers.dense(params["cdna_kerns"], hidden5.reshape(b, -1))
     raw = raw.reshape(b, cfg.num_masks, cfg.dna_kern_size ** 2)
@@ -61,9 +67,10 @@ def cdna_head_parts(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
 
 
 def cdna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
-              hidden5: jnp.ndarray, prev_image: jnp.ndarray
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    synth, kerns, enc7 = cdna_head_parts(params, cfg, enc6, hidden5)
+              hidden5: jnp.ndarray, prev_image: jnp.ndarray,
+              enc7_raw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    synth, kerns, enc7 = cdna_head_parts(params, cfg, enc6, hidden5,
+                                         enc7_raw)
     moved = transforms.cdna_apply(prev_image, kerns)   # (B, M, H, W, C)
     candidates = jnp.concatenate([synth[:, None], moved], axis=1)
     return candidates, enc7
@@ -84,11 +91,13 @@ def dna_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
 
 
 def dna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
-             hidden5: jnp.ndarray, prev_image: jnp.ndarray
-             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             hidden5: jnp.ndarray, prev_image: jnp.ndarray,
+             enc7_raw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     del hidden5
-    enc7 = jax.nn.relu(layers.deconv2d(params["enc7"], enc6, stride=1,
-                                       padding=0))
+    if enc7_raw is None:
+        enc7_raw = layers.deconv2d(params["enc7"], enc6, stride=1,
+                                   padding=0)
+    enc7 = jax.nn.relu(enc7_raw)
     local = None
     if cfg.use_pallas and not cfg.dna_border_zero:
         from pivp_tpu.ops.pallas import local_apply as pallas_apply
@@ -123,11 +132,12 @@ def stp_head_init(key, cfg: ModelConfig, hidden5_dim: int) -> Params:
 
 
 def stp_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
-             hidden5: jnp.ndarray, prev_image: jnp.ndarray
-             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             hidden5: jnp.ndarray, prev_image: jnp.ndarray,
+             enc7_raw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = prev_image.shape[0]
     # No ReLU before the sigmoid here, unlike CDNA (train_model.py:454-455).
-    enc7 = layers.deconv2d(params["enc7"], enc6, stride=1, padding=0)
+    enc7 = (layers.deconv2d(params["enc7"], enc6, stride=1, padding=0)
+            if enc7_raw is None else enc7_raw)
     synth = jax.nn.sigmoid(enc7)
 
     feat = jax.nn.relu(layers.dense(params["stp_input"],

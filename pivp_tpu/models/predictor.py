@@ -190,13 +190,32 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     enc6 = relu(layers.layer_norm_flat(params["norm_enc6"], x, eps))
 
     # Head + masks + composite (train_model.py:711-728).
-    mask_logits = layers.deconv2d(params["masks"], enc6, stride=1, padding=0)
+    #
+    # The mask deconv (train_model.py:527) and the head's enc7 deconv
+    # (:288/:364/:429) are both 1x1 stride-1 convs on enc6; with
+    # merge_output_convs they run as ONE conv over concatenated output
+    # channels and are split afterwards — per-channel math is unchanged
+    # (the channel axis is the GEMM N dim), but one latency-bound
+    # small-N conv (plus its backward) disappears per timestep
+    # (measured: tools/bench_conv_channels.py, ~1.4 ms/step at B=32).
+    enc7_raw = None
+    if cfg.merge_output_convs:
+        mw, hw = params["masks"], params["head"]["enc7"]
+        merged = {"w": jnp.concatenate([mw["w"], hw["w"]], axis=-1),
+                  "b": jnp.concatenate([mw["b"], hw["b"]])}
+        out = layers.deconv2d(merged, enc6, stride=1, padding=0)
+        n_mask = cfg.num_masks + 1
+        mask_logits = out[..., :n_mask]
+        enc7_raw = out[..., n_mask:]
+    else:
+        mask_logits = layers.deconv2d(params["masks"], enc6, stride=1,
+                                      padding=0)
     if cfg.is_cdna and cfg.fused_cdna:
         # Fused path: masked CDNA mixture collapsed to one per-pixel
         # kernel (transforms.fused_cdna_composite) — algebraically equal
         # to the candidate-stack + zip-truncated composite below.
         synth, kerns, enc7 = heads.cdna_head_parts(
-            params["head"], cfg, enc6, h5)
+            params["head"], cfg, enc6, h5, enc7_raw)
         local = None
         if cfg.use_pallas:
             from pivp_tpu.ops.pallas import local_apply as pallas_apply
@@ -209,7 +228,7 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
         # first num_masks candidates.
         _, head_fn = heads.HEADS[cfg.model_type]
         candidates, enc7 = head_fn(params["head"], cfg, enc6, h5,
-                                   prev_image)
+                                   prev_image, enc7_raw)
         gen_image, _ = transforms.mask_composite(
             prev_image, candidates[:, :cfg.num_masks], mask_logits,
             scramble=cfg.chainer_mask_scramble)

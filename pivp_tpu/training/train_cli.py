@@ -2,7 +2,8 @@
 reference entry point (/root/reference/src/models/train_model.py:772-791),
 plus TPU-native extras: --seed, --image_height/--image_width,
 --compute_dtype, --lstm_gate_compute, --num_devices, --remat,
---use_pallas, --fused_cdna, --steps_per_call, --scan_unroll, --prefetch,
+--use_pallas, --fused_cdna, --merge_output_convs, --steps_per_call,
+--scan_unroll, --prefetch,
 --grad_accum, --lazy_load, --u8_transfer, --checkpointer, --synthetic,
 --profile_dir, --run_name, and the multi-host (pod) trio
 --coordinator_address/--num_processes/--process_id (full descriptions:
@@ -78,6 +79,11 @@ from pivp_tpu.utils import logging_utils
 @click.option('--fused_cdna', type=click.INT, default=1,
               help='Fuse the CDNA transform + mask composite into one '
                    'per-pixel kernel (algebraically exact).')
+@click.option('--merge_output_convs', type=click.INT, default=1,
+              help='Evaluate the masks deconv and the head enc7 deconv '
+                   'as ONE conv over concatenated output channels '
+                   '(algebraically exact; both are latency-bound '
+                   'small-N 1x1 convs on enc6).')
 @click.option('--u8_transfer', type=click.INT, default=1,
               help='Ship frames to the device as uint8, dequantize '
                    'on-device (4x less host->device traffic).')
@@ -133,7 +139,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
-         num_devices, remat, use_pallas, fused_cdna, u8_transfer,
+         num_devices, remat, use_pallas, fused_cdna, merge_output_convs,
+         u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
          run_name, coordinator_address, num_processes, process_id):
@@ -174,7 +181,9 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         save_interval=save_interval, debug=bool(debug), seed=seed,
         compute_dtype=compute_dtype, num_devices=num_devices,
         remat=bool(remat), use_pallas=use_pallas,
-        fused_cdna=bool(fused_cdna), u8_transfer=bool(u8_transfer),
+        fused_cdna=bool(fused_cdna),
+        merge_output_convs=bool(merge_output_convs),
+        u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call, scan_unroll=scan_unroll,
         prefetch=prefetch, grad_accum=grad_accum,
         lazy_load=bool(lazy_load), lstm_gate_compute=lstm_gate_compute,
