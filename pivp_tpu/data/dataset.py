@@ -167,7 +167,11 @@ class EpochBatcher:
         self.epoch = 0
         self.is_new_epoch = False
 
-    def next(self) -> Arrays:
+    def next_indices(self) -> np.ndarray:
+        """Advance one batch and return its (batch_size,) sequence
+        indices — the shuffle/epoch bookkeeping without the gather, so
+        the fused dispatch assembler (data/assembler.py) can collate K
+        batches in one pass."""
         idx = np.empty((self.batch_size,), np.int64)
         filled = 0
         self.is_new_epoch = False
@@ -182,6 +186,10 @@ class EpochBatcher:
                 self._pos = 0
                 self.epoch += 1
                 self.is_new_epoch = True
+        return idx
+
+    def next(self) -> Arrays:
+        idx = self.next_indices()
         images, actions, states = self.arrays
         return to_time_major(images[idx], actions[idx], states[idx])
 

@@ -1,9 +1,12 @@
-"""ctypes binding for the native TFRecord scanner (native/tfrecord_index.cc).
+"""ctypes bindings for the native C++ components under native/:
 
-Loads `libtfrecord_index.so` if present, builds it with g++ on first use
-when possible, and degrades to None so callers fall back to the
-pure-Python parser. Keeps the framework import-safe on hosts without a
-toolchain.
+* `tfrecord_index.cc` — TFRecord framing/CRC scanner (ETL stage).
+* `batch_assembler.cc` — fused gather+transpose+quantize training-batch
+  assembler (input pipeline hot path).
+
+Each library is loaded if present, built with g++ on first use when
+possible, and degrades to None so callers fall back to the pure-Python
+path. Keeps the framework import-safe on hosts without a toolchain.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ import logging
 import os
 import subprocess
 import threading
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 logger = logging.getLogger(__name__)
 
@@ -21,27 +24,31 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "tfrecord_index.cc")
 _LIB = os.path.join(_REPO_ROOT, "native", "libtfrecord_index.so")
+_ASM_SRC = os.path.join(_REPO_ROOT, "native", "batch_assembler.cc")
+_ASM_LIB = os.path.join(_REPO_ROOT, "native", "libbatch_assembler.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_asm_lib: Optional[ctypes.CDLL] = None
+_asm_tried = False
 
 
-def _build() -> bool:
-    if not os.path.exists(_SRC):
+def _try_build(src: str, lib: str,
+               flag_sets: Sequence[Sequence[str]]) -> bool:
+    """g++-compile `src` -> `lib`, trying each extra-flag set in order
+    (first success wins; later sets are portability fallbacks)."""
+    if not os.path.exists(src):
         return False
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-msse4.2", _SRC, "-o", _LIB]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        # Retry without SSE4.2 (portable table-driven CRC).
+    for extra in flag_sets:
         try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC,
-                            "-o", _LIB], check=True, capture_output=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", *extra, src, "-o", lib],
+                check=True, capture_output=True)
             return True
-        except Exception:
-            return False
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -50,7 +57,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) and not _build():
+        # -msse4.2 enables the hardware CRC32C path; the portable
+        # table-driven fallback compiles without it.
+        if not os.path.exists(_LIB) and not _try_build(
+                _SRC, _LIB, [["-msse4.2"], []]):
             logger.debug("native tfrecord scanner unavailable")
             return None
         try:
@@ -67,6 +77,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tfr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_ulonglong]
         _lib = lib
         return _lib
+
+
+def get_assembler_lib() -> Optional[ctypes.CDLL]:
+    global _asm_lib, _asm_tried
+    with _lock:
+        if _asm_lib is not None or _asm_tried:
+            return _asm_lib
+        _asm_tried = True
+        if not os.path.exists(_ASM_LIB) and not _try_build(
+                _ASM_SRC, _ASM_LIB, [["-fopenmp"], []]):
+            logger.debug("native batch assembler unavailable")
+            return None
+        try:
+            lib = ctypes.CDLL(_ASM_LIB)
+        except OSError:
+            return None
+        i64 = ctypes.c_longlong
+        lib.pivp_assemble_f32.restype = None
+        lib.pivp_assemble_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
+            ctypes.c_void_p]
+        lib.pivp_assemble_u8.restype = None
+        lib.pivp_assemble_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
+            ctypes.c_void_p]
+        _asm_lib = lib
+        return _asm_lib
 
 
 def index_records(path: str, verify_crc: bool = True

@@ -34,6 +34,7 @@ import numpy as np
 
 from pivp_tpu import config as config_mod
 from pivp_tpu.config import ModelConfig, TrainConfig
+from pivp_tpu.data import assembler
 from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.parallel import mesh as mesh_lib
 from pivp_tpu.parallel import multihost
@@ -424,20 +425,19 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
     while itr < cfg.num_iterations:
         if steps_per_call > 1:
             k = min(steps_per_call, cfg.num_iterations - itr)
-            host_batches = []
+            idx_rows = []
             marks = []
             for i in range(k):
-                host_batches.append(batcher.next())
+                idx_rows.append(batcher.next_indices())
                 if batcher.is_new_epoch:
                     marks.append((i, batcher.epoch))
             if k < steps_per_call:        # pad to the compiled K
-                host_batches += [host_batches[-1]] * (steps_per_call - k)
-            stacked = tuple(
-                np.stack([b[i] for b in host_batches])
-                for i in range(3))
-            if cfg.u8_transfer:
-                stacked = (_quantize_images(stacked[0]), stacked[1],
-                           stacked[2])
+                idx_rows += [idx_rows[-1]] * (steps_per_call - k)
+            # Fused gather+transpose+quantize — one pass via the native
+            # assembler when available (numpy fallback is bit-identical;
+            # see data/assembler.py).
+            stacked = assembler.assemble_calls(
+                batcher.arrays, np.stack(idx_rows), cfg.u8_transfer)
             # Start the host->device transfer here (device_put is
             # async): on the prefetch thread it overlaps the previous
             # call's compute — the upload is the dominant per-call cost
