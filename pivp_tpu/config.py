@@ -221,6 +221,13 @@ class TrainConfig:
     lstm_gate_compute: str = "auto"
     # Number of data-parallel shards; 0 = use all visible devices.
     num_devices: int = 0
+    # Spatial (height) model-parallel ways: shard the image height axis
+    # over the mesh's `model` axis in ADDITION to data parallelism —
+    # GSPMD inserts the conv halo exchanges over ICI. 1 = off. Total
+    # devices used = data_ways * spatial_parallel; needs
+    # (image_height//8)/spatial_parallel >= 4 (see
+    # parallel/train_step._spatial_guard). Single-controller only.
+    spatial_parallel: int = 1
     # jax.checkpoint (remat) the per-timestep cell inside the scan to trade
     # FLOPs for HBM on long rollouts.
     remat: bool = False

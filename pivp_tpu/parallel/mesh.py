@@ -62,17 +62,35 @@ def batch_sharding(mesh: Mesh, time_major: bool = True) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def batch_shardings(mesh: Mesh):
-    """(images, actions, states) shardings for a time-major batch tuple."""
+def batch_shardings(mesh: Mesh, spatial: bool = False):
+    """(images, actions, states) shardings for a time-major batch tuple.
+    With `spatial`, images (T, B, H, W, C) additionally shard H over the
+    `model` axis (vectors have no spatial axis)."""
+    if spatial:
+        img = NamedSharding(mesh, P(None, DATA_AXIS, MODEL_AXIS))
+        vec = NamedSharding(mesh, P(None, DATA_AXIS))
+        return (img, vec, vec)
     s = batch_sharding(mesh)
     return (s, s, s)
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the batch axis sharded over `data`.
-    On a single-device mesh, plain device_put (the GSPMD layout path is
-    pure overhead there)."""
+def call_shardings(mesh: Mesh, spatial: bool = False):
+    """(images, actions, states) shardings for a K-dispatch payload
+    (K, T, B, ...): batch over `data`, and with `spatial` the image
+    height over `model`."""
+    if spatial:
+        img = NamedSharding(mesh, P(None, None, DATA_AXIS, MODEL_AXIS))
+    else:
+        img = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    vec = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    return (img, vec, vec)
+
+
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Device_put a host batch with the batch axis sharded over `data`
+    (and, with `spatial`, image height over `model`). On a single-device
+    mesh, plain device_put (the GSPMD layout path is pure overhead
+    there)."""
     if mesh.size <= 1:
         return jax.device_put(batch)
-    s = batch_sharding(mesh)
-    return jax.device_put(batch, s)
+    return jax.device_put(batch, batch_shardings(mesh, spatial=spatial))

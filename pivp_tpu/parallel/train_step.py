@@ -320,9 +320,11 @@ def make_train_multi(cfg: ModelConfig,
     return call
 
 
-def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
+def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None,
+                   spatial_parallel: bool = False):
     """Validation/inference step: train=False (feed-self rollout), returns
-    the metrics dict plus generated images/states."""
+    the metrics dict plus generated images/states. `spatial_parallel`
+    matches make_train_step: image height sharded over `model`."""
 
     def eval_step(params, batch, rng):
         images, actions, states = batch
@@ -334,7 +336,10 @@ def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
         return jax.jit(eval_step)
 
     repl = NamedSharding(mesh, P())
-    bsh = mesh_lib.batch_sharding(mesh)
+    if spatial_parallel:
+        _spatial_guard(cfg, mesh)
+    img_sh, vec_sh, _ = mesh_lib.batch_shardings(
+        mesh, spatial=spatial_parallel)
     kwargs = {}
     if jax.process_count() > 1:
         # Multi-host: validation fetches the per-(frame, sequence)
@@ -343,4 +348,5 @@ def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
         # the all-gather).
         kwargs["out_shardings"] = repl
     return jax.jit(eval_step,
-                   in_shardings=(repl, (bsh, bsh, bsh), repl), **kwargs)
+                   in_shardings=(repl, (img_sh, vec_sh, vec_sh), repl),
+                   **kwargs)

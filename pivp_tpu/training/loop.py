@@ -74,6 +74,11 @@ def run_training(cfg: TrainConfig,
     # (pi, pc) == (0, 1) and none of this branches.
     pi, pc = multihost.process_info()
     is_primary = pi == 0
+    spatial = cfg.spatial_parallel > 1
+    if spatial and pc > 1:
+        raise NotImplementedError(
+            "spatial_parallel currently composes with single-controller "
+            "data parallelism only, not multi-host runs")
     if pc > 1:
         # Equal host shards keep every process's epoch schedule — and
         # therefore the collective validation sweeps — in lockstep.
@@ -93,6 +98,15 @@ def run_training(cfg: TrainConfig,
         mesh = mesh_lib.make_mesh()          # every global device
         logger.info("Mesh: %d-way data parallel over %d processes "
                     "(this is host %d)", n_dev, pc, pi)
+    elif spatial:
+        sp = cfg.spatial_parallel
+        avail = cfg.num_devices or len(jax.devices())
+        if avail % sp:
+            raise ValueError(f"{avail} devices not divisible by "
+                             f"spatial_parallel={sp}")
+        dp = mesh_lib.auto_num_devices(cfg.batch_size, avail // sp)
+        mesh = mesh_lib.make_mesh(dp * sp, model_parallel=sp)
+        logger.info("Mesh: %d-way data x %d-way spatial parallel", dp, sp)
     else:
         n_dev = mesh_lib.auto_num_devices(cfg.batch_size, cfg.num_devices)
         mesh = mesh_lib.make_mesh(n_dev)
@@ -130,13 +144,15 @@ def run_training(cfg: TrainConfig,
 
     train_step = (ts_lib.make_train_step(mcfg, optimizer, mesh,
                                          remat=cfg.remat,
+                                         spatial_parallel=spatial,
                                          grad_accum=cfg.grad_accum)
                   if steps_per_call == 1 else None)
     train_multi = (ts_lib.make_train_multi(mcfg, optimizer, mesh,
                                            remat=cfg.remat,
+                                           spatial_parallel=spatial,
                                            grad_accum=cfg.grad_accum)
                    if steps_per_call > 1 else None)
-    eval_step = ts_lib.make_eval_step(mcfg, mesh)
+    eval_step = ts_lib.make_eval_step(mcfg, mesh, spatial_parallel=spatial)
 
     if run_name is None:
         run_name = "{0}-{1}-{2}".format(
@@ -239,7 +255,8 @@ def run_training(cfg: TrainConfig,
             v = run_validation(eval_step, state.params, val_arrays,
                                cfg.batch_size, mcfg.state_cost_weight,
                                mesh, u8_transfer=cfg.u8_transfer,
-                               process_index=pi, process_count=pc)
+                               process_index=pi, process_count=pc,
+                               spatial=spatial)
             global_losses_valid.append(
                 logging_utils.epoch_stats([v["loss"]]))
             global_psnr_all_valid.append(
@@ -359,7 +376,8 @@ def run_training(cfg: TrainConfig,
 def run_validation(eval_step, params, val_arrays, batch_size: int,
                    state_cost_weight: float, mesh=None,
                    u8_transfer: bool = False, process_index: int = 0,
-                   process_count: int = 1) -> Dict[str, float]:
+                   process_count: int = 1,
+                   spatial: bool = False) -> Dict[str, float]:
     """One exact validation sweep.
 
     Aggregates per-(frame, sequence) metric matrices from the eval step,
@@ -383,7 +401,7 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
             vbatch = multihost.make_global_batch(mesh, vbatch,
                                                  batch_size)
         elif mesh is not None:
-            vbatch = mesh_lib.shard_batch(mesh, vbatch)
+            vbatch = mesh_lib.shard_batch(mesh, vbatch, spatial=spatial)
         out = eval_step(params, vbatch, jax.random.PRNGKey(0))
         recon_cols.append(np.asarray(out["recon_mse_tb"])[:, :n_valid])
         state_cols.append(np.asarray(out["state_mse_tb"])[:, :n_valid])
@@ -453,9 +471,8 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                 stacked = multihost.make_global_batch(
                     mesh, stacked, cfg.batch_size, batch_axis=2)
             elif mesh.size > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                stacked = jax.device_put(stacked, NamedSharding(
-                    mesh, P(None, None, mesh_lib.DATA_AXIS)))
+                stacked = jax.device_put(stacked, mesh_lib.call_shardings(
+                    mesh, spatial=cfg.spatial_parallel > 1))
             elif cfg.u8_transfer:
                 stacked = jax.device_put(stacked)
             yield stacked, k, marks
@@ -472,7 +489,8 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                 batch = multihost.make_global_batch(mesh, batch,
                                                     cfg.batch_size)
             elif mesh.size > 1 or cfg.u8_transfer:
-                batch = mesh_lib.shard_batch(mesh, batch)
+                batch = mesh_lib.shard_batch(
+                    mesh, batch, spatial=cfg.spatial_parallel > 1)
             yield batch, 1, marks
             itr += 1
 

@@ -1,7 +1,8 @@
 """Training CLI — same 19 public flags (names, types, defaults) as the
 reference entry point (/root/reference/src/models/train_model.py:772-791),
 plus TPU-native extras: --seed, --image_height/--image_width,
---compute_dtype, --lstm_gate_compute, --num_devices, --remat,
+--compute_dtype, --lstm_gate_compute, --num_devices,
+--spatial_parallel, --remat,
 --use_pallas, --fused_cdna, --merge_output_convs, --steps_per_call,
 --scan_unroll, --prefetch,
 --grad_accum, --lazy_load, --u8_transfer, --checkpointer, --synthetic,
@@ -71,6 +72,11 @@ from pivp_tpu.utils import logging_utils
                    'numerics.')
 @click.option('--num_devices', type=click.INT, default=0,
               help='Data-parallel devices (0 = all visible).')
+@click.option('--spatial_parallel', type=click.INT, default=1,
+              help='Spatial (image-height) model-parallel ways, on top '
+                   'of data parallelism: GSPMD shards every conv over '
+                   'the mesh model axis with halo exchanges on ICI. '
+                   '1 = off. Needs (image_height//8)/ways >= 4.')
 @click.option('--remat', type=click.INT, default=0,
               help='Rematerialize the scan step (memory for FLOPs).')
 @click.option('--use_pallas', type=click.INT, default=-1,
@@ -139,8 +145,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          context_frames, use_state, model_type, num_masks, schedsamp_k,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
-         num_devices, remat, use_pallas, fused_cdna, merge_output_convs,
-         u8_transfer,
+         num_devices, spatial_parallel, remat, use_pallas, fused_cdna,
+         merge_output_convs, u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
          run_name, coordinator_address, num_processes, process_id):
@@ -180,6 +186,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         validation_interval=validation_interval,
         save_interval=save_interval, debug=bool(debug), seed=seed,
         compute_dtype=compute_dtype, num_devices=num_devices,
+        spatial_parallel=spatial_parallel,
         remat=bool(remat), use_pallas=use_pallas,
         fused_cdna=bool(fused_cdna),
         merge_output_convs=bool(merge_output_convs),
