@@ -1,6 +1,7 @@
 .PHONY: data train predict visualization test lint clean bench download \
 	test_environment requirements create_environment sync_data_to_s3 \
-	sync_data_from_s3 bench_matrix bench_inference convergence native
+	sync_data_from_s3 bench_matrix bench_inference bench_input \
+	convergence native
 
 # Build orchestration with the same public targets as the reference
 # Makefile (/root/reference/Makefile:27-79), TPU-native entry points.
@@ -90,12 +91,20 @@ bench_inference:
 convergence:
 	$(PYTHON_INTERPRETER) tools/convergence_study.py
 
-## Build the native C++ components (TFRecord scanner)
+## Build the native C++ components (TFRecord scanner, batch assembler)
 native:
 	g++ -O3 -shared -fPIC -msse4.2 native/tfrecord_index.cc \
 		-o native/libtfrecord_index.so || \
 	g++ -O3 -shared -fPIC native/tfrecord_index.cc \
 		-o native/libtfrecord_index.so
+	g++ -O3 -shared -fPIC -fopenmp native/batch_assembler.cc \
+		-o native/libbatch_assembler.so || \
+	g++ -O3 -shared -fPIC native/batch_assembler.cc \
+		-o native/libbatch_assembler.so
+
+## Host-side K-dispatch batch-assembly benchmark (native vs numpy)
+bench_input:
+	$(PYTHON_INTERPRETER) tools/bench_input_assembly.py
 
 ## Delete compiled artifacts
 clean:
