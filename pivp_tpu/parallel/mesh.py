@@ -40,6 +40,16 @@ def make_mesh(num_devices: int = 0, model_parallel: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def model_axis_process_local(mesh: Mesh) -> bool:
+    """True when every data-row of the mesh grid (all model-axis shards
+    of one data shard) lives on ONE process. Required for multi-host
+    spatial parallelism: `make_array_from_process_local_data` can only
+    fill a process's addressable shards from that process's host batch,
+    so the height shards of a host's batch rows must be local to it."""
+    grid = mesh.devices.reshape(-1, mesh.shape[MODEL_AXIS])
+    return all(len({d.process_index for d in row}) == 1 for row in grid)
+
+
 def auto_num_devices(batch_size: int, num_devices: int = 0) -> int:
     """Largest device count <= the visible (or requested) devices that
     evenly divides the batch, so GSPMD batch sharding is always valid."""

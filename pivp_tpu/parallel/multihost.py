@@ -147,6 +147,18 @@ class HostShardedBatcher:
     def next(self):
         return self.local.next()
 
+    def next_indices(self) -> np.ndarray:
+        """Local-shard sequence indices for one batch — the fused
+        K-dispatch assembler (data/assembler.py) gathers them from
+        `self.arrays`, yielding exactly the (K, T, B_local, ...) rows
+        `make_global_batch` expects from this host."""
+        return self.local.next_indices()
+
+    @property
+    def arrays(self):
+        """This host's local (images, actions, states) row shard."""
+        return self.local.arrays
+
     @property
     def epoch(self) -> int:
         return self.local.epoch
@@ -157,7 +169,7 @@ class HostShardedBatcher:
 
 
 def make_global_batch(mesh: Mesh, host_batch, global_batch: int,
-                      batch_axis: int = 1):
+                      batch_axis: int = 1, spatial: bool = False):
     """Assemble one global time-major batch from this process's local
     rows via `jax.make_array_from_process_local_data`.
 
@@ -166,11 +178,19 @@ def make_global_batch(mesh: Mesh, host_batch, global_batch: int,
     global jax.Arrays sharded P(None, 'data', ...) over `mesh` (which
     may span processes). `batch_axis=2` handles K-stacked payloads
     (K, T, B_local, ...) from the K-steps-per-dispatch path.
+
+    `spatial=True` additionally shards the image HEIGHT (the axis after
+    batch, images only) over the mesh's `model` axis. Each host holds
+    full-height rows, so every height shard of its batch columns must be
+    addressable locally — the caller guards with
+    `mesh_lib.model_axis_process_local(mesh)`.
     """
     out = []
-    for arr in host_batch:
-        spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
-        sharding = NamedSharding(mesh, spec)
+    for i, arr in enumerate(host_batch):
+        axes = [None] * batch_axis + [mesh_lib.DATA_AXIS]
+        if spatial and i == 0:              # images: H over `model`
+            axes.append(mesh_lib.MODEL_AXIS)
+        sharding = NamedSharding(mesh, P(*axes))
         global_shape = (arr.shape[:batch_axis] + (global_batch,)
                         + arr.shape[batch_axis + 1:])
         out.append(jax.make_array_from_process_local_data(

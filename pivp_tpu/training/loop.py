@@ -75,10 +75,6 @@ def run_training(cfg: TrainConfig,
     pi, pc = multihost.process_info()
     is_primary = pi == 0
     spatial = cfg.spatial_parallel > 1
-    if spatial and pc > 1:
-        raise NotImplementedError(
-            "spatial_parallel currently composes with single-controller "
-            "data parallelism only, not multi-host runs")
     if pc > 1:
         # Equal host shards keep every process's epoch schedule — and
         # therefore the collective validation sweeps — in lockstep.
@@ -92,12 +88,23 @@ def run_training(cfg: TrainConfig,
             logger.info("Multi-host: trimmed %d train rows for equal "
                         "host shards", n_tr - usable)
         n_dev = len(jax.devices())
-        if cfg.batch_size % n_dev:
+        sp = cfg.spatial_parallel
+        if n_dev % sp:
+            raise ValueError(f"{n_dev} global devices not divisible by "
+                             f"spatial_parallel={sp}")
+        dp = n_dev // sp
+        if cfg.batch_size % dp:
             raise ValueError(f"multi-host batch {cfg.batch_size} must "
-                             f"divide the {n_dev} global devices")
-        mesh = mesh_lib.make_mesh()          # every global device
-        logger.info("Mesh: %d-way data parallel over %d processes "
-                    "(this is host %d)", n_dev, pc, pi)
+                             f"divide the {dp} data-parallel shards")
+        mesh = mesh_lib.make_mesh(model_parallel=sp)  # every device
+        if spatial and not mesh_lib.model_axis_process_local(mesh):
+            raise ValueError(
+                "multi-host spatial_parallel requires each host's "
+                "devices to cover whole model-axis rows (local device "
+                "count divisible by spatial_parallel, process-ordered "
+                "device ids)")
+        logger.info("Mesh: %d-way data x %d-way spatial parallel over "
+                    "%d processes (this is host %d)", dp, sp, pc, pi)
     elif spatial:
         sp = cfg.spatial_parallel
         avail = cfg.num_devices or len(jax.devices())
@@ -399,7 +406,8 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
             cols = slice(process_index * lbs, (process_index + 1) * lbs)
             vbatch = tuple(a[:, cols] for a in vbatch)
             vbatch = multihost.make_global_batch(mesh, vbatch,
-                                                 batch_size)
+                                                 batch_size,
+                                                 spatial=spatial)
         elif mesh is not None:
             vbatch = mesh_lib.shard_batch(mesh, vbatch, spatial=spatial)
         out = eval_step(params, vbatch, jax.random.PRNGKey(0))
@@ -469,7 +477,8 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                 # the global batch (spans processes — plain device_put
                 # cannot build such an array).
                 stacked = multihost.make_global_batch(
-                    mesh, stacked, cfg.batch_size, batch_axis=2)
+                    mesh, stacked, cfg.batch_size, batch_axis=2,
+                    spatial=cfg.spatial_parallel > 1)
             elif mesh.size > 1:
                 stacked = jax.device_put(stacked, mesh_lib.call_shardings(
                     mesh, spatial=cfg.spatial_parallel > 1))
@@ -486,8 +495,9 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
             # producer thread only for u8 payloads or multi-device
             # sharding; f32 single-device batches transfer at dispatch.
             if process_count > 1:
-                batch = multihost.make_global_batch(mesh, batch,
-                                                    cfg.batch_size)
+                batch = multihost.make_global_batch(
+                    mesh, batch, cfg.batch_size,
+                    spatial=cfg.spatial_parallel > 1)
             elif mesh.size > 1 or cfg.u8_transfer:
                 batch = mesh_lib.shard_batch(
                     mesh, batch, spatial=cfg.spatial_parallel > 1)

@@ -54,6 +54,12 @@ def main() -> None:
         if mode == "driver_orbax":
             run_driver_orbax(pi, pc, outfile)
             return
+        if mode == "driver_spatial":
+            run_driver_spatial(pi, pc, outfile)
+            return
+        if mode == "step_spatial":
+            run_step_spatial(pi, pc, outfile)
+            return
         assert mode == "step", mode
         run_step(pi, pc, outfile)
     finally:
@@ -108,6 +114,89 @@ def run_step(pi: int, pc: int, outfile: str) -> None:
         json.dump({"process": pi, "losses": losses,
                    "checksum": checksum,
                    "epoch": batcher.epoch}, f)
+
+
+def run_step_spatial(pi: int, pc: int, outfile: str) -> None:
+    """Multi-host data parallelism COMPOSED with spatial (height)
+    parallelism: a (data=2, model=2) mesh over 2 processes x 2 local
+    devices — each host contributes full-height local batch rows, and
+    GSPMD splits the height over that host's own two devices (halo
+    exchanges stay host-local by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pivp_tpu.config import ModelConfig
+    from pivp_tpu.data import synthetic
+    from pivp_tpu.parallel import mesh as mesh_lib
+    from pivp_tpu.parallel import multihost
+    from pivp_tpu.parallel import train_step as ts_lib
+
+    # 64x64: the spatial guard needs (H//8)/2 >= 4 rows per shard.
+    cfg = ModelConfig(sequence_length=3, context_frames=1, num_masks=3,
+                      scheduled_sampling_k=-1.0)
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    assert mesh.shape == {"data": pc, "model": 2}
+    assert mesh_lib.model_axis_process_local(mesh)
+
+    arrays = synthetic.generate_sequences(12, 3, 64, 64, seed=0)
+    batcher = multihost.HostShardedBatcher(arrays, global_batch=4, seed=7)
+
+    opt = ts_lib.make_optimizer(1e-3)
+    state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = ts_lib.make_train_step(cfg, opt, mesh, spatial_parallel=True)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(3):
+        local = batcher.next()
+        batch = multihost.make_global_batch(mesh, local, 4, spatial=True)
+        state, m = step(state, batch, jnp.float32(i),
+                        jax.random.fold_in(rng, i))
+        losses.append(float(jax.device_get(m["loss"])))
+
+    checksum = float(jax.device_get(jax.jit(
+        lambda p: jax.tree_util.tree_reduce(
+            jnp.add, jax.tree_util.tree_map(
+                lambda x: jnp.sum(jnp.abs(x)), p)))(state.params)))
+
+    with open(outfile, "w") as f:
+        json.dump({"process": pi, "losses": losses,
+                   "checksum": checksum}, f)
+
+
+def run_driver_spatial(pi: int, pc: int, outfile: str) -> None:
+    """The ACTUAL training driver in multi-host mode with
+    --spatial_parallel 2: (data, model) mesh spanning processes,
+    K-dispatch global-batch assembly with height sharding on the
+    prefetch thread."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pivp_tpu.config import TrainConfig
+    from pivp_tpu.data import synthetic
+    from pivp_tpu.training import loop
+
+    out_dir = os.path.join(os.path.dirname(outfile), f"sprun-p{pi}")
+    cfg = TrainConfig(
+        output_dir=out_dir, event_log_dir=out_dir,
+        num_iterations=4, sequence_length=3, context_frames=1,
+        num_masks=3, schedsamp_k=-1.0, batch_size=4,
+        train_val_split=1.0,           # no val sweep: one compile only
+        validation_interval=100, save_interval=100, seed=0,
+        steps_per_call=2, spatial_parallel=2)
+    arrays = synthetic.generate_sequences(12, 3, 64, 64, seed=0)
+    result = loop.run_training(cfg, arrays=arrays, run_name="podspatial")
+
+    checksum = float(jax.device_get(jax.jit(
+        lambda p: jax.tree_util.tree_reduce(
+            jnp.add, jax.tree_util.tree_map(
+                lambda x: jnp.sum(jnp.abs(x)), p)))(
+                    result["state"].params)))
+    losses = np.asarray(result["global_losses"])[:, 0].tolist()
+    with open(outfile, "w") as f:
+        json.dump({"process": pi, "losses": losses,
+                   "checksum": checksum}, f)
 
 
 def run_driver(pi: int, pc: int, outfile: str) -> None:

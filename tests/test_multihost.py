@@ -96,3 +96,38 @@ def test_host_sharded_batcher_epoch_sync():
             b.next()
         assert batchers[0].epoch == batchers[1].epoch
         assert batchers[0].is_new_epoch == batchers[1].is_new_epoch
+
+
+def test_make_global_batch_spatial_bitmatches_device_put():
+    """spatial=True: images get H over the model axis (vectors stay
+    data-only), values and placement identical to a plain device_put
+    with the same shardings."""
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)   # 4 dp x 2 sp
+    assert mesh_lib.model_axis_process_local(mesh)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, 8, 6, 6, 3).astype(np.float32)
+    acts = rng.rand(4, 8, 5).astype(np.float32)
+    stas = rng.rand(4, 8, 5).astype(np.float32)
+    g = multihost.make_global_batch(mesh, (imgs, acts, stas), 8,
+                                    spatial=True)
+    specs = (P(None, "data", "model"), P(None, "data"), P(None, "data"))
+    for arr, host, spec in zip(g, (imgs, acts, stas), specs):
+        ref = jax.device_put(jnp.asarray(host), NamedSharding(mesh, spec))
+        assert arr.sharding.is_equivalent_to(ref.sharding, arr.ndim)
+        np.testing.assert_array_equal(np.asarray(arr), np.asarray(host))
+
+
+def test_make_global_batch_spatial_k_stacked():
+    """batch_axis=2 (K-dispatch payload) with spatial height sharding."""
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(2, 4, 8, 6, 6, 3).astype(np.float32)
+    acts = rng.rand(2, 4, 8, 5).astype(np.float32)
+    stas = rng.rand(2, 4, 8, 5).astype(np.float32)
+    g = multihost.make_global_batch(mesh, (imgs, acts, stas), 8,
+                                    batch_axis=2, spatial=True)
+    ref = jax.device_put(jnp.asarray(imgs), NamedSharding(
+        mesh, P(None, None, "data", "model")))
+    assert g[0].sharding.is_equivalent_to(ref.sharding, g[0].ndim)
+    for arr, host in zip(g, (imgs, acts, stas)):
+        np.testing.assert_array_equal(np.asarray(arr), np.asarray(host))
