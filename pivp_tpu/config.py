@@ -22,6 +22,28 @@ RELU_SHIFT = 1e-12
 # (reference: train_model.py:45).
 DNA_KERN_SIZE = 5
 
+# The reference-quirk switches that, together, reproduce the Chainer
+# implementation's LITERAL runtime semantics (each is individually
+# documented on ModelConfig below). Applied by `as_reference_literal` /
+# the CLIs' --reference_literal flag; the parity oracle gates both this
+# mode and the default original-TF-intent mode
+# (tests/test_reference_parity*.py).
+REFERENCE_LITERAL_OVERRIDES = dict(
+    stp_shared_params=True,
+    detach_sampled=True,
+    chainer_mask_scramble=True,
+    dna_border_zero=True,
+)
+
+
+def as_reference_literal(cfg: "ModelConfig") -> "ModelConfig":
+    """Return `cfg` with every reference-quirk switch set to the Chainer
+    implementation's literal behavior — use when importing a
+    reference-trained checkpoint whose outputs must be reproduced
+    bit-for-bit (mask-softmax scramble, DNA border zeroing, detached
+    scheduled sampling, shared STP params)."""
+    return dataclasses.replace(cfg, **REFERENCE_LITERAL_OVERRIDES)
+
 
 def tpu_backend() -> bool:
     """True when the default JAX backend is a TPU (including plugin
@@ -278,6 +300,14 @@ class TrainConfig:
     # (4x less host->device traffic; lossless for the uint8-sourced
     # robot-push frames, <=1/510 quantization for other sources).
     u8_transfer: bool = True
+    # Train with the reference's LITERAL runtime semantics (all the
+    # ModelConfig reference-quirk switches at once: detached scheduled
+    # sampling, Chainer mask-softmax scramble, DNA border zeroing, shared
+    # STP params — see REFERENCE_LITERAL_OVERRIDES). Default False =
+    # original-TF-intent semantics. For bit-closest numerics also pass
+    # compute_dtype='float32' (literal mode only changes the MATH, not
+    # the precision knobs).
+    reference_literal: bool = False
 
     def model_config(self) -> ModelConfig:
         dtype = self.compute_dtype
@@ -292,6 +322,8 @@ class TrainConfig:
         unroll = self.scan_unroll
         if unroll == 0:       # auto
             unroll = (self.sequence_length - 1) if tpu_backend() else 1
+        quirks = (REFERENCE_LITERAL_OVERRIDES if self.reference_literal
+                  else {})
         return ModelConfig(
             model_type=self.model_type,
             num_masks=self.num_masks,
@@ -313,4 +345,5 @@ class TrainConfig:
             fused_cdna=self.fused_cdna,
             merge_output_convs=self.merge_output_convs,
             scan_unroll=unroll,
+            **quirks,
         )

@@ -88,10 +88,18 @@ def infer_model_type(model_dir: str) -> str:
 def load_model(checkpoint_path: str, model_type: str, num_masks: int,
                context_frames: int, use_state: bool,
                schedsamp_k: float = -1.0, image_height: int = 64,
-               image_width: int = 64, sequence_length: int = 10):
-    """Rebuild config + params from a checkpoint npz."""
+               image_width: int = 64, sequence_length: int = 10,
+               reference_literal: bool = False):
+    """Rebuild config + params from a checkpoint npz.
+
+    `reference_literal=True` runs the forward with the reference Chainer
+    implementation's literal semantics (config.as_reference_literal) —
+    required to reproduce the outputs of a checkpoint imported from the
+    reference (utils/convert_cli.py), whose training baked in the mask
+    scramble / DNA border quirks."""
     import jax
 
+    from pivp_tpu import config as config_mod
     from pivp_tpu.config import ModelConfig
     from pivp_tpu.models import predictor
     from pivp_tpu.utils import checkpoint as ckpt_lib
@@ -101,6 +109,8 @@ def load_model(checkpoint_path: str, model_type: str, num_masks: int,
         use_state=use_state, scheduled_sampling_k=schedsamp_k,
         context_frames=context_frames, sequence_length=sequence_length,
         image_height=image_height, image_width=image_width)
+    if reference_literal:
+        cfg = config_mod.as_reference_literal(cfg)
     template = predictor.init_params(jax.random.PRNGKey(0), cfg)
     params = ckpt_lib.load_npz_into(checkpoint_path, template)
     return cfg, params
@@ -247,7 +257,8 @@ def predict_and_render(model_dir: str, model_name: str, data_index: int,
                        original_image_height: int = 512,
                        original_image_width: int = 640,
                        downscale_factor: float = 0.5, gif: bool = True,
-                       renormalize: bool = False) -> str:
+                       renormalize: bool = False,
+                       reference_literal: bool = False) -> str:
     """Full predict pipeline; returns the output image path."""
     from PIL import Image
 
@@ -264,7 +275,8 @@ def predict_and_render(model_dir: str, model_name: str, data_index: int,
     seq_len = image.shape[0]
     cfg, params = load_model(
         ckpt, model_type, num_masks, context_frames, use_state,
-        schedsamp_k, image_height, image_width, seq_len)
+        schedsamp_k, image_height, image_width, seq_len,
+        reference_literal=reference_literal)
 
     # Full-res (T, H0, W0, C) in 0..255 (get_data_info contract) -> model
     # resolution in [0, 1].

@@ -53,10 +53,18 @@ from pivp_tpu.utils import logging_utils
 @click.option('--renormalize', type=click.INT, default=0,
               help='Reference-compat per-frame min/max rescaling instead '
                    'of clipping.')
+@click.option('--reference_literal', type=click.INT, default=0,
+              help='Run the forward with the reference Chainer '
+                   'implementation\'s LITERAL semantics (mask-softmax '
+                   'scramble, DNA border zeroing, ...). Use when the '
+                   'checkpoint was imported from the reference '
+                   '(pivp-convert) so its predictions are reproduced '
+                   'exactly.')
 def main(model_dir, model_name, data_index, models_dir, data_dir,
          time_step, model_type, schedsamp_k, context_frames, use_state,
          num_masks, image_height, image_width, original_image_height,
-         original_image_width, downscale_factor, gpu, gif, renormalize):
+         original_image_width, downscale_factor, gpu, gif, renormalize,
+         reference_literal):
     """Predict the next TIME_STEP frames from a trained MODEL_DIR/MODEL_NAME."""
     logging_utils.setup_logging()
     from pivp_tpu.utils import compile_cache
@@ -70,7 +78,8 @@ def main(model_dir, model_name, data_index, models_dir, data_dir,
         original_image_height=original_image_height,
         original_image_width=original_image_width,
         downscale_factor=downscale_factor, gif=bool(gif),
-        renormalize=bool(renormalize))
+        renormalize=bool(renormalize),
+        reference_literal=bool(reference_literal))
     logging.getLogger(__name__).info("Wrote %s", out)
 
 

@@ -126,6 +126,13 @@ from pivp_tpu.utils import logging_utils
 @click.option('--run_name', type=click.STRING, default='',
               help='Run directory name (default: timestamped). Reuse a '
                    'name with --checkpointer orbax to resume that run.')
+@click.option('--reference_literal', type=click.INT, default=0,
+              help='Train with the reference Chainer implementation\'s '
+                   'LITERAL semantics (detached scheduled sampling, '
+                   'mask-softmax scramble, DNA border zeroing, shared '
+                   'STP params). 0 (default) = original-TF-intent '
+                   'semantics. Combine with --compute_dtype float32 '
+                   'for reference-exact numerics.')
 @click.option('--coordinator_address', type=click.STRING, default='',
               help='Multi-host (pod) mode: host:port of process 0. '
                    'Launch one identical process per host, each with '
@@ -149,7 +156,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          merge_output_convs, u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
-         run_name, coordinator_address, num_processes, process_id):
+         run_name, reference_literal, coordinator_address, num_processes,
+         process_id):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -195,6 +203,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         prefetch=prefetch, grad_accum=grad_accum,
         lazy_load=bool(lazy_load), lstm_gate_compute=lstm_gate_compute,
         checkpointer=checkpointer,
+        reference_literal=bool(reference_literal),
     )
 
     mcfg = cfg.model_config()

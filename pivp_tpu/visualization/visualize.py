@@ -150,7 +150,8 @@ def visualize_model(checkpoint_path: str, model_type: str,
                     states: np.ndarray, out_dir: str,
                     num_masks: int = 10, context_frames: int = 2,
                     use_state: bool = True,
-                    all_timesteps: bool = False) -> List[str]:
+                    all_timesteps: bool = False,
+                    reference_literal: bool = False) -> List[str]:
     """Reload a checkpoint, run a short prediction with activation capture
     and render per-layer activation grids (visualize.py:386-447): the
     last timestep (the reference's Model.conv_res view) plus per-timestep
@@ -166,7 +167,8 @@ def visualize_model(checkpoint_path: str, model_type: str,
     t = images.shape[0]
     cfg, params = predict_lib.load_model(
         checkpoint_path, model_type, num_masks, context_frames,
-        use_state, -1.0, images.shape[1], images.shape[2], t)
+        use_state, -1.0, images.shape[1], images.shape[2], t,
+        reference_literal=reference_literal)
 
     out = predictor.rollout(
         params, cfg, jnp.asarray(images)[:, None],

@@ -41,9 +41,13 @@ from pivp_tpu.utils import logging_utils
                    '(default: first/middle/last).')
 @click.option('--out_dir', type=click.Path(), default='',
               help='Output dir (defaults to reports/figures/<model_dir>).')
+@click.option('--reference_literal', type=click.INT, default=0,
+              help='Run the forward with the reference implementation\'s '
+                   'literal semantics (for checkpoints imported from the '
+                   'reference via pivp-convert).')
 def main(model_dir, model_name, models_dir, data_dir, data_index,
          model_type, num_masks, context_frames, use_state, time_step,
-         all_timesteps, out_dir):
+         all_timesteps, out_dir, reference_literal):
     """Render loss curves (and activation maps with --model_name)."""
     logging_utils.setup_logging()
     logger = logging.getLogger(__name__)
@@ -73,7 +77,8 @@ def main(model_dir, model_name, models_dir, data_dir, data_index,
             image[:t], action[:t], state[:t], out_dir,
             num_masks=num_masks, context_frames=context_frames,
             use_state=bool(use_state),
-            all_timesteps=bool(all_timesteps))
+            all_timesteps=bool(all_timesteps),
+            reference_literal=bool(reference_literal))
         for w in written:
             logger.info("Wrote %s", w)
 

@@ -2,6 +2,7 @@
 epoch batcher."""
 
 import numpy as np
+import pytest
 
 from pivp_tpu.data import dataset, synthetic
 
@@ -130,6 +131,7 @@ def test_lazy_sequences_match_eager(tmp_path):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.heavy
 def test_lazy_load_trains(tmp_path):
     """End-to-end: --lazy_load training equals the in-memory path."""
     from pivp_tpu.config import TrainConfig

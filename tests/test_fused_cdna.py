@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pivp_tpu.config import ModelConfig
 from pivp_tpu.models import predictor
@@ -55,6 +56,7 @@ def test_fused_rollout_matches_unfused():
                                rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_fused_gradients_match():
     cfg_f = ModelConfig(image_height=16, image_width=16,
                         sequence_length=4, num_masks=4, fused_cdna=True)

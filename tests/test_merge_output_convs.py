@@ -47,6 +47,7 @@ def test_merged_rollout_matches_split(model_type, num_masks, fused):
                                rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_merged_gradients_match():
     cfg_m = ModelConfig(image_height=16, image_width=16,
                         sequence_length=4, num_masks=4,

@@ -4,6 +4,7 @@ host-side f32 within quantization error, and training must work."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pivp_tpu.config import ModelConfig, TrainConfig
 from pivp_tpu.data import dataset as dataset_lib
@@ -37,6 +38,7 @@ def test_u8_rollout_matches_f32_rollout():
                                rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_training_loop_with_u8_transfer(tmp_path):
     from pivp_tpu.training import loop
 

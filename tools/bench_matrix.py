@@ -49,7 +49,8 @@ SCALING_CONFIGS = [
 
 
 def bench_config(tag, model_type, num_masks, batch, k_sched,
-                 height=64, width=64, remat=False, k_steps=None):
+                 height=64, width=64, remat=False, k_steps=None,
+                 literal=False):
     k_steps = k_steps or K
     cfg = ModelConfig(model_type=model_type, num_masks=num_masks,
                       sequence_length=SEQ, context_frames=CONTEXT,
@@ -59,6 +60,9 @@ def bench_config(tag, model_type, num_masks, batch, k_sched,
                       use_pallas=model_type != "STP",
                       scan_unroll=0 if remat else SEQ - 1,
                       lstm_gate_compute="compute")
+    if literal:
+        from pivp_tpu import config as config_mod
+        cfg = config_mod.as_reference_literal(cfg)
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
     multi = ts_lib.make_train_multi(cfg, opt, mesh=None, remat=remat)
@@ -101,6 +105,13 @@ if __name__ == "__main__":
         for tag, b, h, w, remat, ko in SCALING_CONFIGS:
             bench_config(tag, "CDNA", 10, b, 900.0, height=h, width=w,
                          remat=remat, k_steps=ko)
+    elif "--literal" in sys.argv:
+        # Reference-LITERAL semantics (--reference_literal): detached
+        # scheduled sampling truncates backprop-through-time at each
+        # generated frame — a semantics choice, benched so the
+        # literal-parity mode has its own throughput number.
+        bench_config("CDNA b32 reference-literal semantics", "CDNA", 10,
+                     32, 900.0, literal=True)
     else:
         for spec in CONFIGS:
             bench_config(*spec)
