@@ -308,6 +308,11 @@ class TrainConfig:
     # compute_dtype='float32' (literal mode only changes the MATH, not
     # the precision knobs).
     reference_literal: bool = False
+    # Advanced hook (tools/tests): extra ModelConfig field overrides
+    # applied LAST in model_config() — e.g. a single quirk flag for an
+    # ablation (tools/semantics_study.py). Tuple-of-pairs keeps the
+    # dataclass hashable; not exposed on any CLI.
+    model_overrides: Tuple[Tuple[str, object], ...] = ()
 
     def model_config(self) -> ModelConfig:
         dtype = self.compute_dtype
@@ -324,7 +329,7 @@ class TrainConfig:
             unroll = (self.sequence_length - 1) if tpu_backend() else 1
         quirks = (REFERENCE_LITERAL_OVERRIDES if self.reference_literal
                   else {})
-        return ModelConfig(
+        mc = ModelConfig(
             model_type=self.model_type,
             num_masks=self.num_masks,
             use_state=self.use_state,
@@ -347,3 +352,6 @@ class TrainConfig:
             scan_unroll=unroll,
             **quirks,
         )
+        if self.model_overrides:
+            mc = dataclasses.replace(mc, **dict(self.model_overrides))
+        return mc
