@@ -157,6 +157,36 @@ def test_spatial_k_dispatch_matches_sequential():
                                rtol=1e-4)
 
 
+def test_spatial_grad_accum_matches_plain():
+    """spatial_parallel x grad_accum: microbatched gradients under
+    height sharding must equal the unaccumulated spatial step — gates
+    the last untested cell of the parallelism-composition matrix
+    (dp x spatial x grad_accum; dp x grad_accum lives in
+    test_train_multi, dp x spatial above)."""
+    cfg = ModelConfig(sequence_length=3, context_frames=1, num_masks=3,
+                      scheduled_sampling_k=-1.0)  # 64x64 default
+    opt = ts_lib.make_optimizer(1e-3)
+    imgs, acts, stas = synthetic.generate_sequences(4, 3, 64, 64)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+
+    mesh = mesh_lib.make_mesh(4, model_parallel=2)  # 2 dp x 2 spatial
+    sharded = jax.device_put(batch,
+                             mesh_lib.batch_shardings(mesh, spatial=True))
+
+    losses = []
+    for ga in (1, 2):
+        state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        step = ts_lib.make_train_step(cfg, opt, mesh,
+                                      spatial_parallel=True, grad_accum=ga)
+        _, m = step(state, sharded, jnp.float32(0.0),
+                    jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    # grad_accum reseeds each microbatch rng, but with k=-1 (feedself)
+    # the rollout is sampling-free, so losses must agree exactly up to
+    # reduction order.
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_loop_spatial_parallel_end_to_end(tmp_path):
     """The full training driver with --spatial_parallel 2: mesh layout,
     K-dispatch payload sharding, spatially-sharded validation. Per-step
