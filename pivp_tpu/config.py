@@ -291,6 +291,12 @@ class TrainConfig:
     prefetch: int = 2
     # Abort + save an emergency checkpoint if the loss goes non-finite.
     nan_guard: bool = True
+    # Catch SIGTERM/SIGINT (TPU-VM maintenance events, spot reclaims),
+    # checkpoint at the next dispatch boundary, and exit cleanly so an
+    # orbax run auto-resumes from the exact optimizer step on relaunch.
+    # Handler installation is main-thread-only (no-op elsewhere); see
+    # training/preemption.py.
+    graceful_preemption: bool = True
     # Checkpoint backend: 'npz' keeps the reference artifact contract
     # (train_model.py:1023-1041); 'orbax' additionally writes step-managed
     # atomic Orbax checkpoints of the full TrainState and auto-resumes

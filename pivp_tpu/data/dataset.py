@@ -188,6 +188,27 @@ class EpochBatcher:
                 self.is_new_epoch = True
         return idx
 
+    def seek(self, num_batches: int) -> None:
+        """Fast-forward the shuffle/epoch state as if `num_batches`
+        batches had been drawn, without touching the data.
+
+        Used for deterministic resume: a restored run seeks to the
+        checkpointed step count and then draws exactly the batches the
+        uninterrupted run would have (tested bit-identical to replaying
+        `next_indices`). Only the permutation RNG advances — O(epochs
+        crossed), not O(rows gathered)."""
+        if num_batches < 0:
+            raise ValueError(f"cannot seek backwards ({num_batches})")
+        consumed = self._pos + num_batches * self.batch_size
+        # next_indices regenerates the permutation the moment _pos
+        # reaches n (even mid-batch), so the number of regenerations is
+        # exactly the number of n-boundaries the row stream crosses.
+        for _ in range(consumed // self.n):
+            self._perm = self._rng.permutation(self.n)
+            self.epoch += 1
+        self._pos = consumed % self.n
+        self.is_new_epoch = False
+
     def next(self) -> Arrays:
         idx = self.next_indices()
         images, actions, states = self.arrays

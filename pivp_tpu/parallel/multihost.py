@@ -154,6 +154,12 @@ class HostShardedBatcher:
         `make_global_batch` expects from this host."""
         return self.local.next_indices()
 
+    def seek(self, num_batches: int) -> None:
+        """Fast-forward this host's shard stream by `num_batches` global
+        batches (deterministic resume; see EpochBatcher.seek). Every
+        host seeks the same count, so epoch schedules stay in lockstep."""
+        self.local.seek(num_batches)
+
     @property
     def arrays(self):
         """This host's local (images, actions, states) row shard."""

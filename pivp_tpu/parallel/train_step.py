@@ -274,10 +274,16 @@ def make_train_multi(cfg: ModelConfig,
         def body(state, xs):
             k, batch = xs
             active = k < k_real
+            # Per-step key = fold_in(base, ABSOLUTE iteration): the
+            # scheduled-sampling stream is then invariant to the
+            # steps-per-dispatch grouping AND to checkpoint/resume
+            # boundaries (the caller passes the same base key every
+            # call). iter0 arrives as f32 (exact for iterations < 2^24).
             grads, metrics = _grads_and_metrics(
                 state.params, cfg, batch,
                 iter0 + k.astype(jnp.float32),
-                jax.random.fold_in(rng, k), remat, grad_accum)
+                jax.random.fold_in(rng, iter0.astype(jnp.int32) + k),
+                remat, grad_accum)
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)

@@ -39,6 +39,7 @@ from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.parallel import mesh as mesh_lib
 from pivp_tpu.parallel import multihost
 from pivp_tpu.parallel import train_step as ts_lib
+from pivp_tpu.training import preemption
 from pivp_tpu.utils import checkpoint as ckpt_lib
 from pivp_tpu.utils import logging_utils
 from pivp_tpu.utils import profiling
@@ -171,6 +172,7 @@ def run_training(cfg: TrainConfig,
     save_dir = None
 
     itr = 0
+    resumed_dir = None
     ckpt_manager = None
     if cfg.checkpointer == "orbax":
         from pivp_tpu.utils import orbax_ckpt
@@ -191,6 +193,7 @@ def run_training(cfg: TrainConfig,
             state = orbax_ckpt.restore(ckpt_manager,
                                        jax.device_get(state))
             itr = int(state.step)
+            resumed_dir = save_dir
             logger.info("Resumed from orbax checkpoint step %d in %s",
                         latest, save_dir)
 
@@ -203,12 +206,20 @@ def run_training(cfg: TrainConfig,
     else:
         batcher = dataset_lib.EpochBatcher(train_arrays, cfg.batch_size,
                                            seed=cfg.seed)
+    if itr:
+        # Deterministic resume: replay the shuffle/epoch state to the
+        # checkpointed step so the run draws exactly the batches the
+        # uninterrupted run would have (one batch per optimizer step).
+        batcher.seek(itr)
+        logger.info("Fast-forwarded the data stream to iteration %d "
+                    "(epoch %d)", itr, batcher.epoch)
+    # Base sampling key. Per-step keys are fold_in(base, absolute
+    # iteration) — invariant to steps_per_call grouping and to
+    # checkpoint/resume boundaries.
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
-    global_losses: List[List[float]] = []
-    global_psnr_all: List[List[float]] = []
-    global_losses_valid: List[List[float]] = []
-    global_psnr_all_valid: List[List[float]] = []
+    (global_losses, global_psnr_all, global_losses_valid,
+     global_psnr_all_valid) = _restore_curves(resumed_dir)
 
     epoch_start = time.time()
     last_metrics = None
@@ -316,63 +327,89 @@ def run_training(cfg: TrainConfig,
     stream_marks: List[Tuple[int, int]] = []   # (absolute step, epoch)
     stream_len = 0
 
-    for payload, k, marks in calls:
-        rng, step_key = jax.random.split(rng)
-        if steps_per_call > 1:
-            state, metrics = train_multi(state, payload,
-                                         jnp.float32(itr), step_key, k)
-        else:
-            if step_timer is not None:
-                step_timer.start()
-            state, metrics = train_step(state, payload, jnp.float32(itr),
-                                        step_key)
-            if step_timer is not None:
-                step_timer.stop(barrier_value=metrics["loss"])
-            if cfg.debug and (itr < 3 or itr % 50 == 0):
-                logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
-                            float(metrics["loss"]),
-                            float(metrics["psnr_all"]))
-        # Device arrays appended lazily; forced at epoch flushes only, so
-        # dispatches stay asynchronous.
-        stream.append((metrics["loss"], metrics["psnr_all"], k))
-        last_metrics = metrics
-        for i, ep in marks:
-            stream_marks.append((stream_len + i, ep))
-        stream_len += k
-        itr += k
+    restore_signals = (preemption.install() if cfg.graceful_preemption
+                       else (lambda: None))
+    preempted = False
+    try:
+        for payload, k, marks in calls:
+            if steps_per_call > 1:
+                # The compiled multi-step folds the base key by each
+                # step's absolute iteration itself.
+                state, metrics = train_multi(state, payload,
+                                             jnp.float32(itr), rng, k)
+            else:
+                step_key = jax.random.fold_in(rng, itr)
+                if step_timer is not None:
+                    step_timer.start()
+                state, metrics = train_step(state, payload,
+                                            jnp.float32(itr), step_key)
+                if step_timer is not None:
+                    step_timer.stop(barrier_value=metrics["loss"])
+                if cfg.debug and (itr < 3 or itr % 50 == 0):
+                    logger.info("iter %d: loss=%.6f psnr=%.3f", itr,
+                                float(metrics["loss"]),
+                                float(metrics["psnr_all"]))
+            # Device arrays appended lazily; forced at epoch flushes
+            # only, so dispatches stay asynchronous.
+            stream.append((metrics["loss"], metrics["psnr_all"], k))
+            last_metrics = metrics
+            for i, ep in marks:
+                stream_marks.append((stream_len + i, ep))
+            stream_len += k
+            itr += k
 
-        if not stream_marks:
-            continue
-        losses_np = np.concatenate(
-            [np.atleast_1d(np.asarray(l, np.float64))[:kk]
-             for l, _, kk in stream])
-        psnr_np = np.concatenate(
-            [np.atleast_1d(np.asarray(p, np.float64))[:kk]
-             for _, p, kk in stream])
-        elapsed = time.time() - epoch_start
-        prev = 0
-        for n_flushed, (pos, ep) in enumerate(stream_marks):
-            flush_epoch(ep, losses_np[prev:pos + 1], psnr_np[prev:pos + 1],
-                        elapsed if n_flushed == 0 else 0.0)
-            prev = pos + 1
-        tail_l, tail_p = losses_np[prev:], psnr_np[prev:]
-        stream = ([(tail_l, tail_p, len(tail_l))] if len(tail_l) else [])
-        stream_marks = []
-        stream_len = len(tail_l)
-        epoch_start = time.time()
+            if stream_marks:
+                losses_np = np.concatenate(
+                    [np.atleast_1d(np.asarray(l, np.float64))[:kk]
+                     for l, _, kk in stream])
+                psnr_np = np.concatenate(
+                    [np.atleast_1d(np.asarray(p, np.float64))[:kk]
+                     for _, p, kk in stream])
+                elapsed = time.time() - epoch_start
+                prev = 0
+                for n_flushed, (pos, ep) in enumerate(stream_marks):
+                    flush_epoch(ep, losses_np[prev:pos + 1],
+                                psnr_np[prev:pos + 1],
+                                elapsed if n_flushed == 0 else 0.0)
+                    prev = pos + 1
+                tail_l, tail_p = losses_np[prev:], psnr_np[prev:]
+                stream = ([(tail_l, tail_p, len(tail_l))]
+                          if len(tail_l) else [])
+                stream_marks = []
+                stream_len = len(tail_l)
+                epoch_start = time.time()
+
+            if preemption.requested():
+                # Graceful preemption: checkpoint NOW (orbax keys by the
+                # exact optimizer step, so auto-resume continues from
+                # here with the seeked data stream and the fold_in
+                # sampling keys reproducing the uninterrupted run).
+                # Metrics of the current PARTIAL epoch are not flushed
+                # into the curves — the curve files are
+                # per-complete-epoch.
+                preempted = True
+                logger.warning("Preemption requested: checkpointing at "
+                               "iteration %d and exiting", itr)
+                break
+    finally:
+        restore_signals()
+        if preempted and isinstance(calls, _Prefetcher):
+            calls.close()
 
     # Final checkpoint.
     if is_primary or ckpt_manager is not None:
         save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
         _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
                          global_psnr_all, global_losses_valid,
-                         global_psnr_all_valid, final=True,
-                         manager=ckpt_manager, primary=is_primary)
+                         global_psnr_all_valid, final=not preempted,
+                         manager=ckpt_manager, primary=is_primary,
+                         tag=(f"preempt-itr{itr}" if preempted else None))
 
     return {
         "state": state,
         "save_dir": save_dir,
         "run_name": run_name,
+        "preempted": preempted,
         "global_losses": np.asarray(global_losses),
         "global_psnr_all": np.asarray(global_psnr_all),
         "last_metrics": last_metrics,
@@ -583,6 +620,31 @@ class _Prefetcher:
             self.close()
 
 
+_CURVE_FILES = ("training-global_losses", "training-global_psnr_all",
+                "training-global_losses_valid",
+                "training-global_psnr_all_valid")
+
+
+def _restore_curves(resumed_dir: Optional[str]
+                    ) -> Tuple[List[List[float]], ...]:
+    """Seed the per-epoch metric-curve lists from a resumed run's saved
+    .npy files (when present), so checkpoints written after an orbax
+    auto-resume carry the FULL training history, not just the
+    post-resume epochs."""
+    curves = []
+    for name in _CURVE_FILES:
+        path = os.path.join(resumed_dir or "", name + ".npy")
+        if resumed_dir and os.path.exists(path):
+            arr = np.load(path)
+            curves.append([list(map(float, row)) for row in arr])
+        else:
+            curves.append([])
+    if resumed_dir and any(curves):
+        logger.info("Restored %s prior epoch curve rows from %s",
+                    [len(c) for c in curves], resumed_dir)
+    return tuple(curves)
+
+
 def _quantize_images(images: np.ndarray) -> np.ndarray:
     """[0,1] float frames -> uint8 for the host->device transfer
     (dequantized on device in rollout; see TrainConfig.u8_transfer).
@@ -609,11 +671,13 @@ def _write_event(event_log_dir: str, run_name: str, record: Dict) -> None:
 def _save_checkpoint(save_dir: str, epoch: int, state, global_losses,
                      global_psnr_all, global_losses_valid,
                      global_psnr_all_valid, final: bool = False,
-                     manager=None, primary: bool = True) -> None:
+                     manager=None, primary: bool = True,
+                     tag: Optional[str] = None) -> None:
     """Write the reference npz/curve artifacts (primary process only) and,
     when an orbax manager is given, a collective orbax checkpoint (every
     process must call this — orbax barriers across the cluster)."""
-    tag = "final" if final else str(epoch)
+    if tag is None:
+        tag = "final" if final else str(epoch)
     if primary:
         ckpt_lib.save_npz(os.path.join(save_dir, f"training-{tag}"),
                           jax.device_get(state.params))

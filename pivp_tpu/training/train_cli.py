@@ -6,7 +6,8 @@ plus TPU-native extras: --seed, --image_height/--image_width,
 --use_pallas, --fused_cdna, --merge_output_convs, --steps_per_call,
 --scan_unroll, --prefetch,
 --grad_accum, --lazy_load, --u8_transfer, --checkpointer, --synthetic,
---profile_dir, --run_name, and the multi-host (pod) trio
+--profile_dir, --run_name, --graceful_preemption, --reference_literal,
+and the multi-host (pod) trio
 --coordinator_address/--num_processes/--process_id (full descriptions:
 docs/commands.md).
 
@@ -126,6 +127,11 @@ from pivp_tpu.utils import logging_utils
 @click.option('--run_name', type=click.STRING, default='',
               help='Run directory name (default: timestamped). Reuse a '
                    'name with --checkpointer orbax to resume that run.')
+@click.option('--graceful_preemption', type=click.INT, default=1,
+              help='Catch SIGTERM/SIGINT (TPU maintenance events, spot '
+                   'reclaims), checkpoint at the next dispatch boundary '
+                   'and exit cleanly; with --checkpointer orbax the next '
+                   'launch auto-resumes from the exact optimizer step.')
 @click.option('--reference_literal', type=click.INT, default=0,
               help='Train with the reference Chainer implementation\'s '
                    'LITERAL semantics (detached scheduled sampling, '
@@ -156,8 +162,8 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          merge_output_convs, u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
-         run_name, reference_literal, coordinator_address, num_processes,
-         process_id):
+         run_name, graceful_preemption, reference_literal,
+         coordinator_address, num_processes, process_id):
     """Train the video prediction model on processed robot-push data."""
     logging_utils.setup_logging(
         logging.DEBUG if debug else logging.INFO)
@@ -203,6 +209,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         prefetch=prefetch, grad_accum=grad_accum,
         lazy_load=bool(lazy_load), lstm_gate_compute=lstm_gate_compute,
         checkpointer=checkpointer,
+        graceful_preemption=bool(graceful_preemption),
         reference_literal=bool(reference_literal),
     )
 
