@@ -149,6 +149,11 @@ class ModelConfig:
     # Use the Pallas local-kernel-apply op for the K*K tap application in
     # the fused CDNA / DNA paths (TPU only; falls back to XLA otherwise).
     use_pallas: bool = False
+    # Run the Pallas kernels in interpret mode (pure-JAX emulation): lets
+    # CPU test meshes execute the EXACT program shape the TPU default
+    # compiles — including the GSPMD batch-partitioning rules of the
+    # custom calls. Tests/tools only (set via TrainConfig.model_overrides).
+    pallas_interpret: bool = False
     # Fused ConvLSTM gate update as one Pallas VMEM pass (TPU only):
     # f32 gate math at storage-dtype I/O traffic, superseding the
     # lstm_gate_compute precision/traffic trade-off.

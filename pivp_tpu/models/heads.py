@@ -101,7 +101,8 @@ def dna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     local = None
     if cfg.use_pallas and not cfg.dna_border_zero:
         from pivp_tpu.ops.pallas import local_apply as pallas_apply
-        local = pallas_apply.local_kernel_apply
+        interp = cfg.pallas_interpret
+        local = lambda x, w: pallas_apply.local_kernel_apply(x, w, interp)
     out = transforms.dna_apply(prev_image, enc7, cfg.relu_shift,
                                local_apply=local,
                                border_zero=cfg.dna_border_zero)

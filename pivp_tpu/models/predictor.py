@@ -219,7 +219,9 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
         local = None
         if cfg.use_pallas:
             from pivp_tpu.ops.pallas import local_apply as pallas_apply
-            local = pallas_apply.local_kernel_apply
+            interp = cfg.pallas_interpret
+            local = lambda x, w: pallas_apply.local_kernel_apply(
+                x, w, interp)
         gen_image = transforms.fused_cdna_composite(
             prev_image, synth, kerns, mask_logits, local_apply=local,
             scramble=cfg.chainer_mask_scramble)

@@ -331,6 +331,97 @@ def _bwd_call(x: jnp.ndarray, w: jnp.ndarray, g: jnp.ndarray,
     return dx, dw
 
 
+# ---------------------------------------------------------------------------
+# GSPMD partitioning: the op is embarrassingly parallel over the batch
+# ---------------------------------------------------------------------------
+#
+# A Mosaic pallas_call has no built-in SPMD partitioning rule: under GSPMD
+# a sharded operand reaching the custom call is ALL-GATHERED and the kernel
+# runs on the full global batch on every device (verified on an 8-device
+# mesh — correct values, zero parallelism). Since the kernel's grid is
+# per-sample, we register a `custom_partitioning` rule that keeps the
+# batch axis sharded (each device runs the kernel on its local rows) and
+# replicates the spatial axes (the K//2 halo makes H/W shards
+# non-local — a height-sharded operand, e.g. under spatial_parallel, is
+# gathered over the model axis only, which GSPMD inserts automatically
+# from the arg shardings below).
+
+def _batch_partition_spec(arg_infos):
+    """The mesh-axis assignment of dim 0 from the first operand that has
+    one (None = replicated batch)."""
+    for a in arg_infos:
+        sharding = getattr(a, "sharding", None)
+        if sharding is None:
+            continue
+        spec = sharding.spec
+        if len(spec) and spec[0] is not None:
+            return spec[0]
+    return None
+
+
+def _batch_only(mesh, batch_axes, ndim):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(
+        mesh, PartitionSpec(*([batch_axes] + [None] * (ndim - 1))))
+
+
+def _infer_fwd(interpret, mesh, arg_infos, result_infos):
+    del interpret, result_infos
+    return _batch_only(mesh, _batch_partition_spec(arg_infos), 4)
+
+
+def _partition_fwd(interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    b = _batch_partition_spec(arg_infos)
+    arg_sh = tuple(_batch_only(mesh, b, 4) for _ in arg_infos)
+
+    def lower(x, w):
+        return _fwd_call(x, w, interpret)
+
+    return mesh, lower, _batch_only(mesh, b, 4), arg_sh
+
+
+def _infer_bwd(interpret, mesh, arg_infos, result_infos):
+    del interpret, result_infos
+    b = _batch_partition_spec(arg_infos)
+    return (_batch_only(mesh, b, 4), _batch_only(mesh, b, 4))
+
+
+def _partition_bwd(interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    b = _batch_partition_spec(arg_infos)
+    arg_sh = tuple(_batch_only(mesh, b, 4) for _ in arg_infos)
+
+    def lower(x, w, g):
+        return _bwd_call(x, w, g, interpret)
+
+    return mesh, lower, (_batch_only(mesh, b, 4), _batch_only(mesh, b, 4)
+                         ), arg_sh
+
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+_fwd_sharded = custom_partitioning(_fwd_call, static_argnums=(2,))
+# Shardy propagation rule: only the batch factor is shared between
+# operands and results — per-tensor spatial/channel factors keep Shardy
+# from propagating a (halo-breaking) H/W sharding through the op; the
+# partition callback then forces those dims replicated.
+_fwd_sharded.def_partition(
+    infer_sharding_from_operands=_infer_fwd,
+    partition=_partition_fwd,
+    sharding_rule="b i1 j1 c1, b i2 j2 k1 -> b i3 j3 c2",
+)
+
+_bwd_sharded = custom_partitioning(_bwd_call, static_argnums=(3,))
+_bwd_sharded.def_partition(
+    infer_sharding_from_operands=_infer_bwd,
+    partition=_partition_bwd,
+    sharding_rule=("b i1 j1 c1, b i2 j2 k1, b i3 j3 c2 "
+                   "-> b i4 j4 c3, b i5 j5 k2"),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def local_kernel_apply(x: jnp.ndarray, w: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
@@ -338,17 +429,19 @@ def local_kernel_apply(x: jnp.ndarray, w: jnp.ndarray,
 
     x: (B, H, W, C); w: (B, H, W, K*K) per-pixel kernels (any
     normalization is the caller's job). Differentiable in x and w.
+    Partitions over the batch under GSPMD (see the rules above); spatial
+    shardings are gathered around the op.
     """
-    return _fwd_call(x, w, interpret)
+    return _fwd_sharded(x, w, interpret)
 
 
 def _vjp_fwd(x, w, interpret):
-    return _fwd_call(x, w, interpret), (x, w)
+    return _fwd_sharded(x, w, interpret), (x, w)
 
 
 def _vjp_bwd(interpret, res, g):
     x, w = res
-    dx, dw = _bwd_call(x, w, g, interpret)
+    dx, dw = _bwd_sharded(x, w, g, interpret)
     return dx, dw
 
 
