@@ -326,17 +326,29 @@ def make_train_multi(cfg: ModelConfig,
     return call
 
 
+# What validation actually consumes (training/loop.run_validation): the
+# per-(frame, sequence) metric matrices. Selecting them here lets XLA
+# dead-code-eliminate everything validation never reads — and, in the
+# multi-host path below where outputs are replicated, stops the step from
+# all-gathering the entire generated video (gen_images is (T-1,B,H,W,C))
+# per eval batch.
+_EVAL_METRIC_KEYS = ("recon_mse_tb", "state_mse_tb", "ssim_tb")
+
+
 def make_eval_step(cfg: ModelConfig, mesh: Optional[Mesh] = None,
-                   spatial_parallel: bool = False):
-    """Validation/inference step: train=False (feed-self rollout), returns
-    the metrics dict plus generated images/states. `spatial_parallel`
-    matches make_train_step: image height sharded over `model`."""
+                   spatial_parallel: bool = False,
+                   keys: Optional[Tuple[str, ...]] = _EVAL_METRIC_KEYS):
+    """Validation step: train=False (feed-self rollout) returning the
+    selected rollout keys (default: the validation metric matrices;
+    pass keys=None for the full rollout dict incl. generated images —
+    the inference path). `spatial_parallel` matches make_train_step:
+    image height sharded over `model`."""
 
     def eval_step(params, batch, rng):
         images, actions, states = batch
         out = predictor.rollout(params, cfg, images, actions, states,
                                 jnp.float32(0.0), rng, train=False)
-        return out
+        return out if keys is None else {k: out[k] for k in keys}
 
     if not _use_mesh(mesh):
         return jax.jit(eval_step)
