@@ -119,13 +119,23 @@ def _loss_fn(params, cfg: ModelConfig, batch, iter_num, rng, remat: bool):
 
 
 def _grads_and_metrics(params, cfg: ModelConfig, batch, iter_num, rng,
-                       remat: bool, grad_accum: int):
+                       remat: bool, grad_accum: int,
+                       grad_accum_unroll: bool = False):
     """Gradients + metrics, optionally accumulated over `grad_accum`
     microbatches (lax.scan over contiguous batch slices; activations for
     only one microbatch live at a time, so peak HBM scales with
     B/grad_accum). The loss is a mean over the batch, so averaging
     microbatch gradients is exact; batch-nonlinear metrics (PSNR of the
     batch-mean MSE) become means of per-microbatch values.
+
+    `grad_accum_unroll=True` unrolls the accumulation scan: the
+    microbatch forward+backward branches become INDEPENDENT subgraphs
+    (only the cheap gradient adds chain them), letting XLA's
+    latency-hiding scheduler interleave one branch's elementwise loop
+    fusions with another's MXU convolutions. Identical op order per
+    microbatch, so results are bit-equal to the scan — this is purely a
+    schedule experiment (peak activation HBM grows back toward the
+    unsplit batch since branches overlap).
 
     No reference equivalent — the reference is capped by what one
     device's memory fits at batch 32 (train_model.py:887-894).
@@ -163,7 +173,8 @@ def _grads_and_metrics(params, cfg: ModelConfig, batch, iter_num, rng,
                           jax.random.fold_in(rng, 0), remat)
     rest = tuple(m[1:] for m in micro)
     (g_sum, m_sum), _ = jax.lax.scan(
-        body, (g0, m0), (jnp.arange(1, grad_accum), rest))
+        body, (g0, m0), (jnp.arange(1, grad_accum), rest),
+        unroll=grad_accum_unroll)
     inv = 1.0 / grad_accum
     grads = jax.tree_util.tree_map(lambda x: x * inv, g_sum)
     metrics = jax.tree_util.tree_map(lambda x: x * inv, m_sum)
@@ -175,7 +186,8 @@ def make_train_step(cfg: ModelConfig,
                     mesh: Optional[Mesh] = None,
                     remat: bool = False,
                     spatial_parallel: bool = False,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1,
+                    grad_accum_unroll: bool = False):
     """Build the jitted train step.
 
     Signature: step(state, (images, actions, states), iter_num, rng)
@@ -193,7 +205,7 @@ def make_train_step(cfg: ModelConfig,
     def train_step(state: TrainState, batch, iter_num, rng):
         grads, metrics = _grads_and_metrics(state.params, cfg, batch,
                                             iter_num, rng, remat,
-                                            grad_accum)
+                                            grad_accum, grad_accum_unroll)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -241,7 +253,8 @@ def make_train_multi(cfg: ModelConfig,
                      mesh: Optional[Mesh] = None,
                      remat: bool = False,
                      spatial_parallel: bool = False,
-                     grad_accum: int = 1):
+                     grad_accum: int = 1,
+                     grad_accum_unroll: bool = False):
     """K optimizer steps per dispatch: scan over a leading batch axis.
 
     Signature: multi(state, batches, iter0, rng, k_real)
@@ -283,7 +296,7 @@ def make_train_multi(cfg: ModelConfig,
                 state.params, cfg, batch,
                 iter0 + k.astype(jnp.float32),
                 jax.random.fold_in(rng, iter0.astype(jnp.int32) + k),
-                remat, grad_accum)
+                remat, grad_accum, grad_accum_unroll)
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)

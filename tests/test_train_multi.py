@@ -233,6 +233,38 @@ def test_grad_accum_matches_full_batch():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_grad_accum_unroll_matches_scan():
+    """`grad_accum_unroll` only changes the SCHEDULE (unrolled
+    independent microbatch branches vs a sequential scan); the math is
+    identical, so gradients and metrics agree to compiler-fusion
+    reassociation noise (the unrolled bodies fuse into the surrounding
+    graph differently than the once-compiled scan body)."""
+    cfg = tiny_cfg()
+    opt = ts_lib.make_optimizer(1e-3)
+    b = 8
+
+    imgs, acts, stas = synthetic.generate_sequences(b, 4, 16, 16)
+    batch = dataset_lib.to_time_major(imgs, acts, stas)
+    rng = jax.random.PRNGKey(9)
+    state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
+
+    def grads(unroll):
+        return jax.jit(lambda p: ts_lib._grads_and_metrics(
+            p, cfg, batch, jnp.float32(0.0), rng, remat=False,
+            grad_accum=4, grad_accum_unroll=unroll))(state.params)
+
+    g_scan, m_scan = grads(False)
+    g_unr, m_unr = grads(True)
+    np.testing.assert_allclose(float(m_unr["loss"]),
+                               float(m_scan["loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_scan),
+                     jax.tree_util.tree_leaves(g_unr)):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale,
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_grad_accum_rejects_indivisible_batch():
     cfg = tiny_cfg(scheduled_sampling_k=-1.0)
     opt = ts_lib.make_optimizer(1e-3)
