@@ -211,4 +211,9 @@ def main(**kwargs):
 
 
 if __name__ == '__main__':
+    # The reference loads .env before its ETL runs (make_dataset.py:173)
+    # — same contract, dependency-free (utils/dotenv.py).
+    from pivp_tpu.utils.dotenv import find_dotenv, load_dotenv
+
+    load_dotenv(find_dotenv())
     main()

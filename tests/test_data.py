@@ -1,6 +1,8 @@
 """Tests for the synthetic generator, map.csv dataset contract, and the
 epoch batcher."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -151,3 +153,28 @@ def test_lazy_load_trains(tmp_path):
         return np.asarray(loop.run_training(cfg)["global_losses"])
 
     np.testing.assert_array_equal(run(False, "eager"), run(True, "lazy"))
+
+
+def test_dotenv_loader(tmp_path, monkeypatch):
+    """Dependency-free .env support (the reference's make_dataset.py:173
+    contract): nearest file found walking up, KEY=VALUE parsed, existing
+    environment wins."""
+    from pivp_tpu.utils import dotenv
+
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    (tmp_path / ".env").write_text(
+        "# comment\nexport FOO=bar\nQUOTED='x y'\nEXISTING=new\n\n")
+    monkeypatch.chdir(sub)
+    monkeypatch.setenv("EXISTING", "old")
+    monkeypatch.delenv("FOO", raising=False)
+    monkeypatch.delenv("QUOTED", raising=False)
+
+    path = dotenv.find_dotenv()
+    assert path == str(tmp_path / ".env")
+    assert dotenv.load_dotenv(path) is True
+    assert os.environ["FOO"] == "bar"
+    assert os.environ["QUOTED"] == "x y"
+    assert os.environ["EXISTING"] == "old"     # not overridden
+    monkeypatch.delenv("FOO")
+    monkeypatch.delenv("QUOTED")
