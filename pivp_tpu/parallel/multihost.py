@@ -93,6 +93,25 @@ def agree_string(s: str, max_len: int = 128) -> str:
     return bytes(out).rstrip(b"\x00").decode()
 
 
+def agree_flag(flag: bool) -> bool:
+    """Collective OR of a per-process boolean.
+
+    Used at dispatch boundaries so a preemption signal (SIGTERM) that
+    reached only SOME hosts still stops EVERY host at the same step —
+    all processes then reach the collective orbax checkpoint barrier
+    together instead of the signaled host blocking at it alone. Cheap:
+    one tiny allgather per dispatch (~K optimizer steps). No-op in
+    single-process runs.
+    """
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.process_allgather(
+        np.asarray([flag], dtype=np.uint8))
+    return bool(np.asarray(out).any())
+
+
 def shard_rows(n_rows: int, process_index: int,
                process_count: int) -> range:
     """Contiguous per-host row assignment covering [0, n_rows) exactly

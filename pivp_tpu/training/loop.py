@@ -326,6 +326,16 @@ def run_training(cfg: TrainConfig,
     stream: List[Tuple[jnp.ndarray, jnp.ndarray, int]] = []
     stream_marks: List[Tuple[int, int]] = []   # (absolute step, epoch)
     stream_len = 0
+    if itr and resumed_dir:
+        # A preempted run saved its partial-epoch step metrics; seeding
+        # the stream with them makes the straddling epoch's flushed curve
+        # row a FULL-epoch statistic, not just the post-resume steps.
+        partial = _restore_partial_stream(resumed_dir, itr)
+        if partial is not None:
+            stream = [(partial[0], partial[1], len(partial[0]))]
+            stream_len = len(partial[0])
+            logger.info("Restored %d partial-epoch step metrics from the "
+                        "preempted run", stream_len)
 
     restore_signals = (preemption.install() if cfg.graceful_preemption
                        else (lambda: None))
@@ -379,31 +389,50 @@ def run_training(cfg: TrainConfig,
                 stream_len = len(tail_l)
                 epoch_start = time.time()
 
-            if preemption.requested():
+            # Collective preemption agreement: a SIGTERM delivered to
+            # only SOME hosts must stop EVERY host at the same step, so
+            # all processes reach the collective orbax save together
+            # (the flag itself is process-local; see
+            # training/preemption.py).
+            stop = preemption.requested()
+            if pc > 1:
+                stop = multihost.agree_flag(stop)
+            if stop:
                 # Graceful preemption: checkpoint NOW (orbax keys by the
                 # exact optimizer step, so auto-resume continues from
                 # here with the seeked data stream and the fold_in
                 # sampling keys reproducing the uninterrupted run).
-                # Metrics of the current PARTIAL epoch are not flushed
-                # into the curves — the curve files are
-                # per-complete-epoch.
+                # Metrics of the current PARTIAL epoch are persisted
+                # alongside the checkpoint (training-partial-epoch.npz)
+                # and restored on resume, so the straddling epoch's
+                # curve row stays a full-epoch statistic.
                 preempted = True
                 logger.warning("Preemption requested: checkpointing at "
                                "iteration %d and exiting", itr)
                 break
+
+        # Final checkpoint — written while the set-a-flag signal handlers
+        # are STILL installed: a second SIGTERM during the (potentially
+        # slow) save must not revert to default handling and kill the
+        # process mid-write.
+        if is_primary or ckpt_manager is not None:
+            save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
+            _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
+                             global_psnr_all, global_losses_valid,
+                             global_psnr_all_valid, final=not preempted,
+                             manager=ckpt_manager, primary=is_primary,
+                             tag=(f"preempt-itr{itr}" if preempted
+                                  else None))
+            if is_primary:
+                # Persist the not-yet-flushed partial-epoch metrics for
+                # ANY final save — a run ending mid-epoch at
+                # num_iterations and later extended resumes exactly like
+                # a preempted one.
+                _save_partial_stream(save_dir, stream, itr)
     finally:
         restore_signals()
         if preempted and isinstance(calls, _Prefetcher):
             calls.close()
-
-    # Final checkpoint.
-    if is_primary or ckpt_manager is not None:
-        save_dir = ckpt_lib.prepare_run_dir(cfg.output_dir, run_name)
-        _save_checkpoint(save_dir, batcher.epoch, state, global_losses,
-                         global_psnr_all, global_losses_valid,
-                         global_psnr_all_valid, final=not preempted,
-                         manager=ckpt_manager, primary=is_primary,
-                         tag=(f"preempt-itr{itr}" if preempted else None))
 
     return {
         "state": state,
@@ -643,6 +672,40 @@ def _restore_curves(resumed_dir: Optional[str]
         logger.info("Restored %s prior epoch curve rows from %s",
                     [len(c) for c in curves], resumed_dir)
     return tuple(curves)
+
+
+_PARTIAL_STREAM_FILE = "training-partial-epoch.npz"
+
+
+def _save_partial_stream(save_dir: str, stream, itr: int) -> None:
+    """Persist the not-yet-flushed per-step metrics of the epoch a
+    preemption interrupted (keyed by the exact iteration), so the resumed
+    run can complete that epoch's curve row instead of computing it from
+    only the post-resume steps."""
+    path = os.path.join(save_dir, _PARTIAL_STREAM_FILE)
+    if not stream:
+        # The run ended exactly at an epoch boundary: drop any stale
+        # file from an earlier preemption so nothing can mis-restore.
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    losses = np.concatenate(
+        [np.atleast_1d(np.asarray(l, np.float64))[:k] for l, _, k in stream])
+    psnrs = np.concatenate(
+        [np.atleast_1d(np.asarray(p, np.float64))[:k] for _, p, k in stream])
+    np.savez(path, losses=losses, psnrs=psnrs, itr=np.int64(itr))
+
+
+def _restore_partial_stream(resumed_dir: str, itr: int):
+    """(losses, psnrs) saved by `_save_partial_stream` — only when they
+    belong to exactly the resumed iteration (otherwise stale)."""
+    path = os.path.join(resumed_dir, _PARTIAL_STREAM_FILE)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as d:
+        if int(d["itr"]) != itr:
+            return None
+        return np.asarray(d["losses"]), np.asarray(d["psnrs"])
 
 
 def _quantize_images(images: np.ndarray) -> np.ndarray:

@@ -9,11 +9,13 @@ optimizer step on the next launch. No reference equivalent (the
 reference loses everything since its last epoch-interval save,
 /root/reference/src/models/train_model.py:1023-1041).
 
-Multi-host note: the flag is process-local. Cluster schedulers deliver
-SIGTERM to every worker on a reclaim (the normal case), so all
-processes reach the collective orbax save together; a signal delivered
-to only SOME processes would leave the others blocked at that save's
-barrier until its timeout.
+Multi-host: the LOCAL flag is process-local, but the training loop acts
+on the collective OR of it across processes (multihost.agree_flag at
+every dispatch boundary) — a SIGTERM delivered to ANY single worker
+checkpoints the whole cluster together, so the collective orbax save
+barrier is always reached by every process
+(tests/test_multihost_procs.py signals one worker and asserts both
+exit cleanly with the checkpoint written).
 
 The handler can only be installed from the main thread (a CPython
 restriction); elsewhere `install` is a no-op and tests drive the flag
@@ -55,6 +57,12 @@ def install(signals: Iterable[int] = DEFAULT_SIGNALS
     thread."""
     if threading.current_thread() is not threading.main_thread():
         return lambda: None
+
+    # A stale flag from a previous preempted run in the same process
+    # (sweep drivers, notebooks) would otherwise stop the new run after
+    # one dispatch. Clearing here is safe: before install, these signals
+    # would have killed the process anyway.
+    _EVENT.clear()
 
     previous = {}
 

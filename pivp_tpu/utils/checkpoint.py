@@ -45,7 +45,15 @@ def _path_str(entry) -> str:
 
 
 def save_npz(path: str, tree: Any) -> None:
-    np.savez(path, **flatten_pytree(tree))
+    """Atomic: write to a temp file in the same directory, then
+    os.replace — a signal or crash mid-write can never leave a truncated
+    artifact at the final name (the graceful-preemption path saves while
+    more SIGTERMs may arrive)."""
+    out = path if path.endswith(".npz") else path + ".npz"
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flatten_pytree(tree))
+    os.replace(tmp, out)
 
 
 def load_npz_into(path: str, template: Any) -> Any:

@@ -150,16 +150,33 @@ def test_orbax_resume_is_exact_mid_epoch(tmp_path):
     a = np.asarray(full["global_losses"])
     b = np.asarray(resumed["global_losses"])
     assert a.shape == b.shape == (3, 5)
-    # Epoch 1 predates the resume (restored from the curve files);
-    # epoch 3 is entirely post-resume. Epoch 2 straddles the boundary —
-    # its stats cover only the post-resume step (documented partial-
-    # epoch caveat), so it is excluded.
-    np.testing.assert_allclose(a[0], b[0], rtol=1e-7)
-    np.testing.assert_allclose(a[2], b[2], rtol=1e-7)
+    # EVERY row matches — including epoch 2, which straddles the resume
+    # boundary: its pre-resume step metrics were persisted
+    # (training-partial-epoch.npz) and restored, so the flushed row is a
+    # full-epoch statistic identical to the uninterrupted run's.
+    np.testing.assert_allclose(a, b, rtol=1e-7)
+
+
+def _request_at_boundary(monkeypatch, n: int):
+    """Arrange for the preemption flag to be set at the n-th dispatch
+    boundary (as a SIGTERM handler would mid-run) — deterministic, and
+    compatible with install() clearing stale flags at run start."""
+    from pivp_tpu.training import loop
+
+    calls = {"n": 0}
+    real = preemption.requested
+
+    def fake():
+        calls["n"] += 1
+        if calls["n"] == n:
+            preemption.request()
+        return real()
+
+    monkeypatch.setattr(loop.preemption, "requested", fake)
 
 
 @pytest.mark.heavy
-def test_graceful_preemption_checkpoint_and_resume(tmp_path):
+def test_graceful_preemption_checkpoint_and_resume(tmp_path, monkeypatch):
     """A preemption request makes the loop checkpoint at the next
     dispatch boundary and exit cleanly; the relaunch auto-resumes and
     lands exactly where an uninterrupted run would."""
@@ -172,12 +189,13 @@ def test_graceful_preemption_checkpoint_and_resume(tmp_path):
         arrays=arrays, run_name="run")
 
     before = signal.getsignal(signal.SIGTERM)
-    preemption.request()          # as the SIGTERM handler would
+    _request_at_boundary(monkeypatch, 1)
     try:
         out = loop.run_training(
             _loop_cfg(tmp_path, "pre", checkpointer="orbax"),
             arrays=arrays, run_name="run")
     finally:
+        monkeypatch.undo()
         preemption.clear()
     assert out["preempted"] is True
     assert int(out["state"].step) == 1
@@ -185,6 +203,9 @@ def test_graceful_preemption_checkpoint_and_resume(tmp_path):
     assert signal.getsignal(signal.SIGTERM) is before
     assert os.path.exists(os.path.join(out["save_dir"],
                                        "training-preempt-itr1.npz"))
+    # The interrupted epoch's step metrics were persisted for resume.
+    assert os.path.exists(os.path.join(out["save_dir"],
+                                       "training-partial-epoch.npz"))
 
     resumed = loop.run_training(
         _loop_cfg(tmp_path, "pre", checkpointer="orbax"),
@@ -193,6 +214,31 @@ def test_graceful_preemption_checkpoint_and_resume(tmp_path):
     assert int(resumed["state"].step) == 6
     for x, y in zip(_params_leaves(full), _params_leaves(resumed)):
         np.testing.assert_array_equal(x, y)
+    # With the partial-epoch stream restored, EVERY curve row — including
+    # the epoch straddling the preemption — matches the uninterrupted
+    # run (pre-round-4, the straddling row covered only post-resume
+    # steps).
+    np.testing.assert_allclose(np.asarray(full["global_losses"]),
+                               np.asarray(resumed["global_losses"]),
+                               rtol=1e-7)
+
+
+def test_stale_preemption_flag_cleared_at_install(tmp_path):
+    """A flag left set by a PREVIOUS preempted run in this process must
+    not stop the next run after a single dispatch: install() clears it
+    (regression for the round-3 advisor finding)."""
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(4, 4, 16, 16)
+    preemption.request()          # stale flag from an earlier run
+    try:
+        out = loop.run_training(
+            _loop_cfg(tmp_path, "stale", num_iterations=2),
+            arrays=arrays, run_name="run")
+    finally:
+        preemption.clear()
+    assert out["preempted"] is False
+    assert int(out["state"].step) == 2
 
 
 def test_preemption_handler_sets_flag_and_restores():
@@ -208,3 +254,36 @@ def test_preemption_handler_sets_flag_and_restores():
     finally:
         restore()
         preemption.clear()
+
+
+def test_orbax_elastic_restore_across_device_counts(tmp_path):
+    """Elastic resume: an orbax checkpoint written on an 8-device mesh
+    restores on 1 device (params BIT-equal to what the 8-device run
+    saved) and a 4-device continuation trains on from it — the restore
+    path is device-count agnostic by construction (host-side numpy
+    template, values replicated; training/loop.py)."""
+    from pivp_tpu.training import loop
+
+    arrays = synthetic.generate_sequences(8, 4, 16, 16)
+    kw = dict(checkpointer="orbax", batch_size=8, schedsamp_k=-1.0)
+    first = loop.run_training(
+        _loop_cfg(tmp_path, "el", num_iterations=2, num_devices=8, **kw),
+        arrays=arrays, run_name="run")
+    assert int(first["state"].step) == 2
+
+    # Same-step "resume" on ONE device: zero further dispatches, so the
+    # returned state IS the restored checkpoint — bit-equal to what the
+    # 8-device run saved.
+    restored = loop.run_training(
+        _loop_cfg(tmp_path, "el", num_iterations=2, num_devices=1, **kw),
+        arrays=arrays, run_name="run")
+    assert int(restored["state"].step) == 2
+    for x, y in zip(_params_leaves(first), _params_leaves(restored)):
+        np.testing.assert_array_equal(x, y)
+
+    # Continuation on a 4-device mesh: resumes at step 2, trains to 4.
+    cont = loop.run_training(
+        _loop_cfg(tmp_path, "el", num_iterations=4, num_devices=4, **kw),
+        arrays=arrays, run_name="run")
+    assert int(cont["state"].step) == 4
+    assert np.isfinite(np.asarray(cont["global_losses"])).all()
