@@ -138,12 +138,11 @@ class HostShardedBatcher:
     Each host owns `shard_rows(n, pi, pc)` of the dataset and draws
     epoch-shuffled local batches of B/pc rows; the concatenation over
     hosts (in process order) is the global batch `make_global_batch`
-    assembles. Epoch boundaries are synchronized: every host's shard has
-    the same number of batches per epoch when row counts are equal
-    (guaranteed when n_rows % pc == 0; otherwise the longest shard
-    defines the epoch and shorter shards wrap — same semantics as
-    EpochBatcher's permutation wrap).
-    """
+    assembles. Requires EQUAL host shards (n_rows % pc == 0, enforced) —
+    epoch boundaries are then synchronized across hosts by construction,
+    which the loop's collective validation sweeps and checkpoint epochs
+    depend on. Callers with a ragged row count trim it first (the
+    training loop does; loop.py)."""
 
     def __init__(self, arrays, global_batch: int, seed: int,
                  process_index: Optional[int] = None,
@@ -153,6 +152,12 @@ class HostShardedBatcher:
         self.process_index = process_index
         self.process_count = process_count
         n = arrays[0].shape[0]
+        if n % process_count:
+            raise ValueError(
+                f"{n} rows do not split into equal shards over "
+                f"{process_count} processes; trim to a multiple first "
+                f"(unequal shards would desynchronize epoch boundaries "
+                f"across hosts)")
         rows = shard_rows(n, process_index, process_count)
         local = tuple(a[rows.start:rows.stop] for a in arrays)
         # Distinct seed per host: hosts hold disjoint data, so identical

@@ -29,10 +29,11 @@ def main() -> None:
     mode, coord, pc, pi, outfile = (sys.argv[1], sys.argv[2],
                                     int(sys.argv[3]), int(sys.argv[4]),
                                     sys.argv[5])
+    n_local = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2").strip()
+        + f" --xla_force_host_platform_device_count={n_local}").strip()
 
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -44,8 +45,8 @@ def main() -> None:
 
     assert multihost.initialize(coord, pc, pi) is True
     assert multihost.process_info() == (pi, pc)
-    assert len(jax.local_devices()) == 2
-    assert len(jax.devices()) == 2 * pc
+    assert len(jax.local_devices()) == n_local
+    assert len(jax.devices()) == n_local * pc
 
     try:
         if mode == "driver":
@@ -53,6 +54,9 @@ def main() -> None:
             return
         if mode == "driver_orbax":
             run_driver_orbax(pi, pc, outfile)
+            return
+        if mode == "driver_preempt":
+            run_driver_preempt(pi, pc, outfile)
             return
         if mode == "driver_spatial":
             run_driver_spatial(pi, pc, outfile)
@@ -83,8 +87,8 @@ def run_step(pi: int, pc: int, outfile: str) -> None:
     cfg = ModelConfig(image_height=16, image_width=16, sequence_length=4,
                       context_frames=2, num_masks=3,
                       scheduled_sampling_k=-1.0)
-    mesh = mesh_lib.make_mesh()          # all 4 global devices, dp
-    assert mesh.size == 2 * pc
+    mesh = mesh_lib.make_mesh()          # every global device, dp
+    assert mesh.size == len(jax.devices())
 
     # Every process generates the identical full dataset (seed-fixed) and
     # then reads ONLY its own row shard through HostShardedBatcher — in a
@@ -242,6 +246,72 @@ def run_driver(pi: int, pc: int, outfile: str) -> None:
         json.dump({"process": pi, "losses": losses,
                    "checksum": checksum, "wrote": wrote,
                    "save_dir": result["save_dir"]}, f)
+
+
+def run_driver_preempt(pi: int, pc: int, outfile: str) -> None:
+    """Preemption signaled to ONLY ONE host of a live cluster: the
+    collective flag agreement (multihost.agree_flag at every dispatch
+    boundary) must stop EVERY process at the same step so the collective
+    orbax save completes instead of deadlocking at its barrier — the
+    exact hazard round 3 documented as unsolved. A second invocation
+    auto-resumes and finishes the run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pivp_tpu.config import TrainConfig
+    from pivp_tpu.data import synthetic
+    from pivp_tpu.training import loop, preemption
+
+    out_dir = os.path.join(os.path.dirname(outfile), "run-shared")
+    base = dict(
+        output_dir=out_dir, event_log_dir=out_dir,
+        sequence_length=4, context_frames=2,
+        image_height=16, image_width=16, num_masks=3,
+        schedsamp_k=-1.0, batch_size=4, train_val_split=1.0,
+        validation_interval=100, save_interval=100, seed=0,
+        checkpointer="orbax", prefetch=0)
+    arrays = synthetic.generate_sequences(12, 4, 16, 16, seed=0)
+
+    # Process 0 ALONE "receives SIGTERM" at its second dispatch boundary
+    # (the flag is set exactly as the signal handler would set it;
+    # process 1 never sees a local request). Deterministic stand-in for
+    # a signal racing the loop.
+    real_requested = preemption.requested
+    if pi == 0:
+        calls = {"n": 0}
+
+        def fake():
+            calls["n"] += 1
+            if calls["n"] == 2:
+                preemption.request()
+            return real_requested()
+
+        preemption.requested = fake
+
+    r1 = loop.run_training(TrainConfig(num_iterations=6, **base),
+                           arrays=arrays, run_name="podpre")
+    preemption.requested = real_requested
+    preemption.clear()
+    step1 = int(jax.device_get(r1["state"].step))
+
+    # Both processes exited the preempted run cleanly — resume to 6.
+    r2 = loop.run_training(TrainConfig(num_iterations=6, **base),
+                           arrays=arrays, run_name="podpre")
+    step2 = int(jax.device_get(r2["state"].step))
+
+    def checksum(params):
+        return float(jax.device_get(jax.jit(
+            lambda p: jax.tree_util.tree_reduce(
+                jnp.add, jax.tree_util.tree_map(
+                    lambda x: jnp.sum(jnp.abs(x)), p)))(params)))
+
+    with open(outfile, "w") as f:
+        json.dump({"process": pi,
+                   "preempted1": bool(r1["preempted"]),
+                   "preempted2": bool(r2["preempted"]),
+                   "step1": step1, "step2": step2,
+                   "checksum2": checksum(r2["state"].params)}, f)
 
 
 def run_driver_orbax(pi: int, pc: int, outfile: str) -> None:

@@ -131,3 +131,18 @@ def test_make_global_batch_spatial_k_stacked():
     assert g[0].sharding.is_equivalent_to(ref.sharding, g[0].ndim)
     for arr, host in zip(g, (imgs, acts, stas)):
         np.testing.assert_array_equal(np.asarray(arr), np.asarray(host))
+
+
+def test_hostsharded_batcher_rejects_unequal_shards():
+    """Unequal host shards would desynchronize epoch boundaries across
+    hosts (collective validation/checkpoint schedules diverge) — the
+    constructor rejects them; callers trim first (the training loop
+    does)."""
+    import pytest
+
+    from pivp_tpu.parallel import multihost
+
+    arrays = synthetic.generate_sequences(7, 4, 8, 8)
+    with pytest.raises(ValueError, match="equal shards"):
+        multihost.HostShardedBatcher(arrays, global_batch=4, seed=0,
+                                     process_index=0, process_count=2)

@@ -38,7 +38,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_cluster(mode: str, tmp_path):
+def _run_cluster(mode: str, tmp_path, pc: int = 2, local_devices: int = 2):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -46,14 +46,14 @@ def _run_cluster(mode: str, tmp_path):
     env.pop("JAX_NUM_CPU_DEVICES", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
-    outs = [str(tmp_path / f"{mode}-proc{i}.json") for i in range(2)]
+    outs = [str(tmp_path / f"{mode}-proc{i}.json") for i in range(pc)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
-             mode, coord, "2", str(i), outs[i]],
+             mode, coord, str(pc), str(i), outs[i], str(local_devices)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for i in range(2)]
+        for i in range(pc)]
     logs = []
     for p in procs:
         try:
@@ -134,10 +134,10 @@ def test_two_process_orbax_checkpointing(tmp_path):
     assert 4 in steps and 8 in steps, steps
 
 
-def _single_process_reference():
-    """Replays the exact global-batch composition the two workers
-    produce (host-disjoint shards, per-host seeds, concat in process
-    order) through the plain single-device train step."""
+def _single_process_reference(pc: int = 2):
+    """Replays the exact global-batch composition the workers produce
+    (host-disjoint shards, per-host seeds, concat in process order)
+    through the plain single-device train step."""
     import jax
     import jax.numpy as jnp
 
@@ -152,8 +152,8 @@ def _single_process_reference():
     arrays = synthetic.generate_sequences(12, 4, 16, 16, seed=0)
     batchers = [
         multihost.HostShardedBatcher(arrays, global_batch=4, seed=7,
-                                     process_index=i, process_count=2)
-        for i in range(2)]
+                                     process_index=i, process_count=pc)
+        for i in range(pc)]
 
     opt = ts_lib.make_optimizer(1e-3)
     state = ts_lib.create_train_state(jax.random.PRNGKey(0), cfg, opt)
@@ -232,3 +232,36 @@ def _single_process_spatial_reference():
                         jax.random.fold_in(rng, i))
         losses.append(float(m["loss"]))
     return losses
+
+
+def test_one_host_preemption_stops_whole_cluster(tmp_path):
+    """SIGTERM-equivalent delivered to ONLY process 0 of a live
+    2-process cluster: the collective flag agreement must stop BOTH
+    processes at the same step, the collective orbax save must complete
+    (no barrier deadlock — the hazard round 3 left documented), and a
+    second invocation must auto-resume to completion on both."""
+    results = _run_cluster("driver_preempt", tmp_path)
+
+    for r in results:
+        assert r["preempted1"] is True, r      # BOTH stopped
+        assert r["preempted2"] is False, r     # resume ran to the end
+    # Same step everywhere: the cluster stopped together, and the
+    # collectively-saved checkpoint resumed to the full 6 iterations.
+    assert results[0]["step1"] == results[1]["step1"] == 2
+    assert results[0]["step2"] == results[1]["step2"] == 6
+    assert results[0]["checksum2"] == results[1]["checksum2"]
+
+
+def test_four_process_cluster_matches_single_process(tmp_path):
+    """N>2 generality of the pod story: a 4-process x 1-device cluster
+    (4-way dp, one host shard per process) matches the single-process
+    replay of the same composed global batches."""
+    results = _run_cluster("step", tmp_path, pc=4, local_devices=1)
+
+    for r in results[1:]:
+        assert r["losses"] == results[0]["losses"]
+        assert r["checksum"] == results[0]["checksum"]
+
+    ref_losses = _single_process_reference(pc=4)
+    np.testing.assert_allclose(results[0]["losses"], ref_losses,
+                               rtol=2e-4, atol=1e-6)
