@@ -37,7 +37,7 @@ BATCH = 32
 SEQ = 10
 CONTEXT = 2
 K = 25            # optimizer steps per dispatch
-ROUNDS = 2        # timed dispatches
+ROUNDS = 5        # timed dispatches; per-dispatch times -> median + spread
 
 
 def main() -> None:
@@ -97,14 +97,20 @@ def main() -> None:
     state, metrics = multi(state, batches, jnp.float32(0.0), rng)
     float(np.asarray(metrics["loss"])[-1])
 
-    t0 = time.perf_counter()
+    # Each dispatch is timed individually, with the same host-fetch
+    # barrier as the warmup, so the JSON can carry median + spread
+    # rather than a single aggregate.
+    times = []
+    final_loss = 0.0
     for r in range(ROUNDS):
+        t0 = time.perf_counter()
         state, metrics = multi(state, batches,
                                jnp.float32((r + 1) * K), rng)
-    final_loss = float(np.asarray(metrics["loss"])[-1])
-    dt = time.perf_counter() - t0
+        final_loss = float(np.asarray(metrics["loss"])[-1])
+        times.append(time.perf_counter() - t0)
 
-    steps_per_sec = (ROUNDS * K) / dt
+    med = float(np.median(times))
+    steps_per_sec = K / med
     # Predicted frames per optimizer step (8 per sequence at reference
     # defaults), matching BASELINE.json's "10-step rollout frames/sec".
     frames_per_sec = steps_per_sec * BATCH * (SEQ - CONTEXT)
@@ -129,6 +135,11 @@ def main() -> None:
             (frames_per_sec / n_chips) / CPU_BASELINE_FRAMES_PER_SEC, 2),
         "steps_per_sec": round(steps_per_sec, 3),
         "ms_per_step": round(1000.0 / steps_per_sec, 2),
+        # Per-dispatch spread over ROUNDS timed dispatches (K steps each,
+        # host-fetch barrier per dispatch). ms_per_step is the median.
+        "ms_per_step_min": round(1000.0 * min(times) / K, 2),
+        "ms_per_step_max": round(1000.0 * max(times) / K, 2),
+        "timed_dispatches": ROUNDS,
         "achieved_tflops_per_chip": round(achieved_tflops, 1),
         "mfu_vs_v5e_bf16_peak": round(
             achieved_tflops / V5E_BF16_PEAK_TFLOPS, 3),
