@@ -1,7 +1,7 @@
 .PHONY: data train predict visualization test lint clean bench download \
 	test_environment requirements create_environment sync_data_to_s3 \
 	sync_data_from_s3 bench_matrix bench_inference bench_input \
-	convergence native
+	bench_serving convergence native
 
 # Build orchestration with the same public targets as the reference
 # Makefile (/root/reference/Makefile:27-79), TPU-native entry points.
@@ -86,6 +86,10 @@ bench_matrix:
 ## Inference/serving throughput benchmark
 bench_inference:
 	$(PYTHON_INTERPRETER) tools/bench_inference.py
+
+## Serving-batch scaling sweep through the export artifact (MFU table)
+bench_serving:
+	$(PYTHON_INTERPRETER) tools/bench_serving.py
 
 ## Loss-convergence study (regenerates notebooks/4.0-loss-convergence.md)
 convergence:
