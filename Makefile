@@ -73,7 +73,7 @@ test_environment:
 
 ## Lint
 lint:
-	$(PYTHON_INTERPRETER) -m flake8 pivp_tpu tests || true
+	$(PYTHON_INTERPRETER) tools/lint.py pivp_tpu tests tools bench.py __graft_entry__.py
 
 ## Benchmark (single JSON line)
 bench:

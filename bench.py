@@ -50,7 +50,6 @@ def main() -> None:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pivp_tpu.config import ModelConfig
-    from pivp_tpu.data import dataset as dataset_lib
     from pivp_tpu.data import synthetic
     from pivp_tpu.parallel import mesh as mesh_lib
     from pivp_tpu.parallel import train_step as ts_lib
@@ -95,18 +94,22 @@ def main() -> None:
     # the final loss — on remote-attached runtimes block_until_ready can
     # return before execution finishes, silently timing only dispatch.
     state, metrics = multi(state, batches, jnp.float32(0.0), rng)
-    float(np.asarray(metrics["loss"])[-1])
+    float(metrics["loss"][-1])
 
     # Each dispatch is timed individually, with the same host-fetch
     # barrier as the warmup, so the JSON can carry median + spread
-    # rather than a single aggregate.
+    # rather than a single aggregate. The fetch is ONE scalar (the last
+    # step's loss, sliced on device), not the full K-step array — the
+    # barrier round-trip is methodology (block_until_ready is unreliable
+    # through the tunnel), but the payload shouldn't scale with K. Each
+    # ms_per_step therefore includes 1/K of one host RTT by design.
     times = []
     final_loss = 0.0
     for r in range(ROUNDS):
         t0 = time.perf_counter()
         state, metrics = multi(state, batches,
                                jnp.float32((r + 1) * K), rng)
-        final_loss = float(np.asarray(metrics["loss"])[-1])
+        final_loss = float(metrics["loss"][-1])
         times.append(time.perf_counter() - t0)
 
     med = float(np.median(times))
@@ -120,7 +123,6 @@ def main() -> None:
 
     step_flops = flops_lib.train_step_flops(cfg, BATCH)
     achieved_tflops = step_flops * steps_per_sec / n_chips / 1e12
-    V5E_BF16_PEAK_TFLOPS = 197.0
 
     result = {
         "metric": "CDNA b32 T10 64x64 train throughput "
@@ -141,8 +143,7 @@ def main() -> None:
         "ms_per_step_max": round(1000.0 * max(times) / K, 2),
         "timed_dispatches": ROUNDS,
         "achieved_tflops_per_chip": round(achieved_tflops, 1),
-        "mfu_vs_v5e_bf16_peak": round(
-            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 3),
+        "mfu_vs_v5e_bf16_peak": round(flops_lib.mfu(achieved_tflops), 3),
         "devices": n_chips,
         "final_loss": final_loss,
         # Real-TPU numerical regression of BOTH Pallas kernels (local

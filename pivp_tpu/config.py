@@ -1,4 +1,5 @@
-"""Configuration for the TPU-native physical-interaction video-prediction framework.
+"""Configuration for the TPU-native physical-interaction
+video-prediction framework.
 
 Mirrors the capability surface of the reference Chainer implementation
 (`/root/reference/src/models/train_model.py:772-791` CLI flags and
@@ -10,7 +11,7 @@ programs (no data-dependent control flow leaks into jit).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

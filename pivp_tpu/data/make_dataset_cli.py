@@ -28,7 +28,7 @@ import glob
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import click
 import numpy as np

@@ -24,7 +24,7 @@ import csv
 import glob
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -65,7 +65,8 @@ def main(model_dir, model_name, data_index, models_dir, data_dir,
          num_masks, image_height, image_width, original_image_height,
          original_image_width, downscale_factor, gpu, gif, renormalize,
          reference_literal):
-    """Predict the next TIME_STEP frames from a trained MODEL_DIR/MODEL_NAME."""
+    """Predict the next TIME_STEP frames from a trained
+    MODEL_DIR/MODEL_NAME."""
     logging_utils.setup_logging()
     from pivp_tpu.utils import compile_cache
     compile_cache.enable()

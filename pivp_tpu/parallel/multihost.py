@@ -29,7 +29,7 @@ same jitted program over the same global arrays.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -54,7 +54,8 @@ def initialize(coordinator_address: Optional[str] = None,
         try:
             import jax._src.clusters as clusters
             detected = any(
-                env.is_env_present() for env in clusters.ClusterEnv.__subclasses__())
+                env.is_env_present()
+                for env in clusters.ClusterEnv.__subclasses__())
         except Exception:
             detected = False
         if not detected:

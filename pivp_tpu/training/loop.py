@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pivp_tpu import config as config_mod
-from pivp_tpu.config import ModelConfig, TrainConfig
+from pivp_tpu.config import TrainConfig
 from pivp_tpu.data import assembler
 from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.parallel import mesh as mesh_lib
@@ -498,6 +498,20 @@ def run_validation(eval_step, params, val_arrays, batch_size: int,
     }
 
 
+def _staging_budget_bytes() -> int:
+    """HBM budget for producer-side staged payloads (all queued calls
+    together). With prefetch, up to (prefetch+1) payloads are device-
+    resident at once; past this budget the producer yields host arrays
+    and the transfer happens at dispatch instead (slower pipeline, no
+    RESOURCE_EXHAUSTED). 2 GB default leaves the 16 GB v5e HBM to
+    weights/activations even at the T=30 full-unroll config."""
+    return int(os.environ.get("PIVP_STAGING_BUDGET_MB", "2048")) << 20
+
+
+def _producer_staging_ok(payload_bytes: int, prefetch: int) -> bool:
+    return (prefetch + 1) * payload_bytes <= _staging_budget_bytes()
+
+
 def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                    steps_per_call: int, process_count: int = 1):
     """Yield (payload, k_real, marks) device-call descriptions.
@@ -514,6 +528,7 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
     (gather + stack + quantize + transfer start) overlaps device compute.
     """
     itr = start_itr
+    staging_warned = False
     while itr < cfg.num_iterations:
         if steps_per_call > 1:
             k = min(steps_per_call, cfg.num_iterations - itr)
@@ -533,11 +548,23 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
             # Start the host->device transfer here (device_put is
             # async): on the prefetch thread it overlaps the previous
             # call's compute — the upload is the dominant per-call cost
-            # on tunnel-attached devices. Only with u8_transfer: up to
-            # prefetch+1 staged payloads live in HBM at once, which is
-            # fine for uint8 (~100 MB each at the bench config) but can
-            # RESOURCE_EXHAUSTED with f32 frames (~400 MB each, ~3.5 GB
-            # at T=30) — those transfer on dequeue as before.
+            # on tunnel-attached devices. Staging is an optimization,
+            # not a requirement, so it is gated on an explicit HBM
+            # budget (_producer_staging_ok): (prefetch+1) payloads live
+            # in HBM at once — ~100 MB each u8 at the bench config, but
+            # f32 frames or long-T/big-batch u8 can reach GBs and
+            # RESOURCE_EXHAUSTED. Over budget, the payload is yielded
+            # as host arrays and transfers at dispatch.
+            payload_bytes = sum(int(a.nbytes) for a in stacked)
+            stage = _producer_staging_ok(payload_bytes, cfg.prefetch)
+            if not stage and cfg.u8_transfer and not staging_warned:
+                staging_warned = True
+                logger.info(
+                    "producer-side HBM staging disabled: %d staged "
+                    "payloads x %.0f MB exceeds the %d MB budget "
+                    "(PIVP_STAGING_BUDGET_MB); transferring at dispatch",
+                    cfg.prefetch + 1, payload_bytes / 2**20,
+                    _staging_budget_bytes() >> 20)
             if process_count > 1:
                 # Pod path: every process contributes its local rows of
                 # the global batch (spans processes — plain device_put
@@ -545,10 +572,12 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                 stacked = multihost.make_global_batch(
                     mesh, stacked, cfg.batch_size, batch_axis=2,
                     spatial=cfg.spatial_parallel > 1)
-            elif mesh.size > 1:
+            elif mesh.size > 1 and stage:
+                # Optional here too: the jitted multi-step declares
+                # in_shardings, so a host payload shards at dispatch.
                 stacked = jax.device_put(stacked, mesh_lib.call_shardings(
                     mesh, spatial=cfg.spatial_parallel > 1))
-            elif cfg.u8_transfer:
+            elif cfg.u8_transfer and stage:
                 stacked = jax.device_put(stacked)
             yield stacked, k, marks
             itr += k
@@ -559,12 +588,15 @@ def _produce_calls(batcher, cfg: TrainConfig, start_itr: int, mesh,
                 batch = (_quantize_images(batch[0]), batch[1], batch[2])
             # Same HBM-staging policy as the K-path: device_put on the
             # producer thread only for u8 payloads or multi-device
-            # sharding; f32 single-device batches transfer at dispatch.
+            # sharding, and only within the staging budget; otherwise
+            # the batch transfers at dispatch.
+            payload_bytes = sum(int(a.nbytes) for a in batch)
+            stage = _producer_staging_ok(payload_bytes, cfg.prefetch)
             if process_count > 1:
                 batch = multihost.make_global_batch(
                     mesh, batch, cfg.batch_size,
                     spatial=cfg.spatial_parallel > 1)
-            elif mesh.size > 1 or cfg.u8_transfer:
+            elif (mesh.size > 1 or cfg.u8_transfer) and stage:
                 batch = mesh_lib.shard_batch(
                     mesh, batch, spatial=cfg.spatial_parallel > 1)
             yield batch, 1, marks

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 import subprocess
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -166,7 +166,15 @@ def convert_reference_npz(path: str, cfg, params_template: Any) -> Any:
                         "b": ref["model/enc7/b"]}
         head["stp_input"] = linear("model/stp_input",
                                    feature_shape=(lc[4], h8, w8))
-        head["identity_params"] = linear("model/identity_params")
+        if cfg.stp_shared_params:
+            head["identity_params"] = linear("model/identity_params")
+        else:
+            # Per-mask Linear(6) heads (the original-TF semantics the
+            # reference quirked away at train_model.py:465-467); keys
+            # follow export_reference_npz's fixed-branch layout.
+            head["identity_params"] = [
+                linear(f"model/identity_params_{i}")
+                for i in range(cfg.num_masks - 1)]
     out["head"] = head
 
     # Validate against the template structure/shapes.
@@ -238,7 +246,11 @@ def export_reference_npz(path: str, cfg, params: Any) -> None:
     elif cfg.is_stp:
         put_linear("model/stp_input", head["stp_input"],
                    feature_shape=(lc[4], h8, w8))
-        put_linear("model/identity_params", head["identity_params"])
+        if cfg.stp_shared_params:
+            put_linear("model/identity_params", head["identity_params"])
+        else:
+            for i, p in enumerate(head["identity_params"]):
+                put_linear(f"model/identity_params_{i}", p)
     np.savez(path, **out)
 
 

@@ -11,6 +11,21 @@ from __future__ import annotations
 
 from pivp_tpu.config import ModelConfig
 
+# The benchmark hardware target: TPU v5e bf16 peak. Every benchmark MFU
+# column (bench.py, tools/bench_serving.py, ...) divides by this ONE
+# constant so a hardware-target change can't desynchronize them.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+# Reference default mask counts per head (train_model.py:786 num_masks=10;
+# DNA asserts num_masks==1 at :389-390). Shared by the benchmark tools so
+# their model tables can't drift.
+DEFAULT_NUM_MASKS = {"CDNA": 10, "DNA": 1, "STP": 10}
+
+
+def mfu(achieved_tflops: float) -> float:
+    """Fraction of v5e bf16 peak that `achieved_tflops` represents."""
+    return achieved_tflops / V5E_BF16_PEAK_TFLOPS
+
 
 def _conv(out_hw: int, ksize: int, c_in: int, c_out: int) -> int:
     return out_hw * ksize * ksize * c_in * c_out * 2

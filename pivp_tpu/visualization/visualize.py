@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 import math
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -53,11 +53,18 @@ class ChainerOracle:
         scramble + DNA border zeroing); False computes the original-TF
         "intent" semantics (NHWC-equivalent per-pixel mask softmax, true
         DNA shift windows) for intent-mode parity tests.
+      stp_shared_params: True is the reference quirk — one Linear(6)
+        reused for every mask so all warps are identical
+        (train_model.py:465-467). False is the original-TF semantics:
+        a distinct Linear(6) per mask, read from npz keys
+        `model/identity_params_{i}` (the layout export_reference_npz
+        writes for the fixed branch).
     """
 
     def __init__(self, npz, model_type: str = "CDNA", num_masks: int = 10,
                  use_state: bool = True, context_frames: int = 2,
                  literal_quirks: bool = True,
+                 stp_shared_params: bool = True,
                  dtype: torch.dtype = torch.float64):
         if isinstance(npz, (str,)):
             with np.load(npz) as data:
@@ -70,6 +77,7 @@ class ChainerOracle:
         self.use_state = use_state
         self.context_frames = context_frames
         self.literal_quirks = literal_quirks
+        self.stp_shared_params = stp_shared_params
         self.dtype = dtype
 
     # -- primitive layers (Chainer link semantics) ------------------------
@@ -239,9 +247,10 @@ class ChainerOracle:
         return [out], enc7
 
     def stp_head(self, encs, hiddens, prev_image):
-        """StatelessSTP (train_model.py:419-475): shared Linear(6), affine
-        grid + bilinear sampler per mask (all masks identical per the
-        reference quirk)."""
+        """StatelessSTP (train_model.py:419-475): affine grid + bilinear
+        sampler per mask. Shared mode reuses ONE Linear(6) so all warps
+        are identical (the reference quirk at :465-467); per-mask mode is
+        the original-TF semantics with a distinct Linear(6) per mask."""
         b = prev_image.shape[0]
         enc7 = self.deconv("model/enc7", encs[6], stride=1)
         transformed = [torch.sigmoid(enc7)]
@@ -250,8 +259,10 @@ class ChainerOracle:
                                       hiddens[4].reshape(b, -1)))
         identity = torch.tensor([1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
                                 dtype=self.dtype)
-        for _ in range(self.num_masks - 1):
-            theta = self.linear("model/identity_params", feat) + identity
+        for i in range(self.num_masks - 1):
+            name = ("model/identity_params" if self.stp_shared_params
+                    else f"model/identity_params_{i}")
+            theta = self.linear(name, feat) + identity
             theta = theta.reshape(b, 2, 3)
             grid = st_grid(theta, prev_image.shape[2], prev_image.shape[3])
             transformed.append(st_sampler(prev_image, grid))

@@ -1,7 +1,6 @@
 """Downloader: listing generation, skip-existing, graceful per-shard
 failure (hermetic — network calls are stubbed)."""
 
-import os
 
 from click.testing import CliRunner
 

@@ -5,9 +5,7 @@ meshes where eval outputs are replicated, stopping a per-batch
 all-gather of the entire (T-1,B,H,W,C) rollout nobody consumes."""
 
 import jax
-import numpy as np
 
-from pivp_tpu.data import dataset as dataset_lib
 from pivp_tpu.data import synthetic
 from pivp_tpu.parallel import train_step as ts_lib
 from pivp_tpu.training import loop

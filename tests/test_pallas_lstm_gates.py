@@ -66,7 +66,6 @@ def test_conv_lstm_pallas_path_matches_xla():
     (f32 gate math) end to end through the cell."""
     from pivp_tpu.ops import convlstm
     from pivp_tpu.ops.pallas import lstm_gates as lg
-    import pivp_tpu.ops.convlstm as convlstm_mod
 
     key = jax.random.PRNGKey(0)
     params = convlstm.conv_lstm_init(key, 8, 32)

@@ -15,8 +15,6 @@ within a minute.
 import dataclasses
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from pivp_tpu.config import ModelConfig
 from pivp_tpu.utils.checkpoint import export_reference_npz

@@ -15,7 +15,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pivp_tpu import config as config_mod
 from pivp_tpu.config import ModelConfig, TrainConfig

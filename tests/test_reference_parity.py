@@ -72,7 +72,8 @@ def _run_pair(cfg: ModelConfig, literal_quirks: bool, tmp_path):
     oracle = ChainerOracle(ckpt, model_type=cfg.model_type,
                            num_masks=cfg.num_masks, use_state=cfg.use_state,
                            context_frames=cfg.context_frames,
-                           literal_quirks=literal_quirks)
+                           literal_quirks=literal_quirks,
+                           stp_shared_params=cfg.stp_shared_params)
     ref = oracle.rollout(np.transpose(images, (0, 1, 4, 2, 3)),
                          actions, states)
 
@@ -131,6 +132,21 @@ def test_intent_parity(model_type, tmp_path):
                                        tmp_path=tmp_path)
     delta, img_diff = _assert_parity(out, ref, gen, ref_gen)
     print(f"[parity:{model_type}:intent] max dPSNR={delta:.2e} dB, "
+          f"max |dI|={img_diff:.2e}")
+
+
+# -- STP per-mask heads: the original-TF semantics the reference quirked
+# away (train_model.py:465-467). This is the one head branch the shared-
+# params gates above never touch: distinct Linear(6) per mask, so the
+# warps genuinely differ. Oracle reads model/identity_params_{i} keys. ----
+
+def test_intent_parity_stp_per_mask(tmp_path):
+    cfg = ModelConfig(model_type="STP", num_masks=10,
+                      stp_shared_params=False)
+    out, ref, gen, ref_gen = _run_pair(cfg, literal_quirks=False,
+                                       tmp_path=tmp_path)
+    delta, img_diff = _assert_parity(out, ref, gen, ref_gen)
+    print(f"[parity:STP:per-mask] max dPSNR={delta:.2e} dB, "
           f"max |dI|={img_diff:.2e}")
 
 

@@ -37,7 +37,7 @@ from pivp_tpu.parallel import train_step as ts_lib
 from pivp_tpu.utils.checkpoint import export_reference_npz, flatten_pytree
 
 from chainer_oracle import ChainerOracle
-from test_reference_parity import _fixture_params, _fixture_batch, T, B, H, W
+from test_reference_parity import _fixture_params, _fixture_batch, T, H, W
 
 # iter_num chosen so num_ground_truth = round(B * k/(k+e^(i/k))) == 0 at
 # k=900 (train_model.py:652-657): the scheduled-sampling mix is then
@@ -153,6 +153,49 @@ def test_train_step_gradient_parity(model_type, sampling, tmp_path):
           f"rel={worst[1]:.2e}")
 
 
+def test_train_step_gradient_parity_stp_per_mask(tmp_path):
+    """Gradient gate for the ONE head branch the shared-params gates never
+    touch: stp_shared_params=False (distinct Linear(6) per mask — the
+    original-TF semantics the reference quirked away at
+    train_model.py:465-467). Intent mode, feedself sampling (full BPTT),
+    f64 both sides; every per-mask projection must carry a DISTINCT,
+    matching gradient."""
+    cfg = ModelConfig(model_type="STP", num_masks=10,
+                      stp_shared_params=False,
+                      scheduled_sampling_k=-1.0,
+                      compute_dtype="float64",
+                      lstm_gate_compute="compute")
+
+    params = _fixture_params(dataclasses.replace(
+        cfg, compute_dtype="float32"))
+    batch = _fixture_batch()
+    images, actions, states = batch
+
+    ckpt = str(tmp_path / "ref_layout.npz")
+    export_reference_npz(ckpt, cfg, params)
+    oracle = ChainerOracle(ckpt, model_type="STP", num_masks=10,
+                           use_state=True,
+                           context_frames=cfg.context_frames,
+                           literal_quirks=False, stp_shared_params=False)
+    ref = oracle.train_step(np.transpose(images, (0, 1, 4, 2, 3)),
+                            actions, states, sampling="feedself")
+
+    grads, loss = _jax_grads(cfg, params, batch, 0.0, x64=True)
+    assert abs(loss - ref["loss"]) < 1e-9 * max(1.0, abs(ref["loss"]))
+
+    jax_grads = _grad_table(cfg, grads, tmp_path)
+    assert set(ref["grads"].keys()) == set(jax_grads.keys())
+    # The fixed branch must be non-vacuous: per-mask gradients differ.
+    g0 = jax_grads["model/identity_params_0/W"]
+    g1 = jax_grads["model/identity_params_1/W"]
+    assert np.linalg.norm(g0 - g1) > 1e-12 * (np.linalg.norm(g0) + 1e-30)
+    worst = _assert_grads_close(ref["grads"], jax_grads, rtol=1e-6,
+                                label="STP:per-mask:feedself")
+    print(f"[train-parity:STP:per-mask] loss d="
+          f"{abs(loss - ref['loss']):.2e}, worst grad {worst[0]} "
+          f"rel={worst[1]:.2e}")
+
+
 def test_detach_vs_feedself_gradients_differ(tmp_path):
     """The stop-gradient path must actually change the gradients (else the
     detach gate above would be vacuous)."""
@@ -218,7 +261,8 @@ def test_full_train_step_update_parity(tmp_path):
     f64 by test_train_step_gradient_parity). This test checks WIRING of
     the full f32 train_step per tensor: update-direction cosine > 0.98
     (a wrong tensor / missing converter permutation / wrong scale gives
-    cosine near 0) and every update bounded by lr. (Semantics are gated elementwise in f64 by
+    cosine near 0) and every update bounded by lr. (Semantics are gated
+    elementwise in f64 by
     test_train_step_gradient_parity; this test checks the WIRING of the
     full f32 train_step: grads reach the right tensors through the
     optimizer at the right scale.)"""

@@ -83,8 +83,8 @@ def test_convert_end_to_end(tmp_path):
     raw = tmp_path / "raw"
     raw.mkdir()
     for shard in range(2):
-        recs = [tfrecord.encode_example(robot_push_example(4, 32, 40,
-                                                           seed=shard * 10 + r))
+        recs = [tfrecord.encode_example(
+            robot_push_example(4, 32, 40, seed=shard * 10 + r))
                 for r in range(3)]
         tfrecord.write_records(str(raw / f"push.tfrecord-{shard}"), recs)
 

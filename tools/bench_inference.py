@@ -42,10 +42,11 @@ from pivp_tpu.data import dataset as dataset_lib  # noqa: E402
 from pivp_tpu.data import synthetic  # noqa: E402
 from pivp_tpu.models import predictor  # noqa: E402
 from pivp_tpu.ops import transforms  # noqa: E402
+from pivp_tpu.utils import flops as flops_lib  # noqa: E402
 
 SEQ, CONTEXT = 10, 2
 
-MODELS = [("CDNA", 10), ("DNA", 1), ("STP", 10)]
+MODELS = list(flops_lib.DEFAULT_NUM_MASKS.items())
 
 
 def bench_model(model_type: str, num_masks: int, batch: int,

@@ -50,8 +50,7 @@ from pivp_tpu.models import predictor  # noqa: E402
 from pivp_tpu.utils import flops as flops_lib  # noqa: E402
 
 SEQ, CONTEXT = 10, 2
-NUM_MASKS = {"CDNA": 10, "DNA": 1, "STP": 10}
-V5E_BF16_PEAK_TFLOPS = 197.0
+NUM_MASKS = flops_lib.DEFAULT_NUM_MASKS
 
 
 def bench_batch(model_type: str, batch: int, rounds: int) -> dict:
@@ -121,8 +120,7 @@ def bench_batch(model_type: str, batch: int, rounds: int) -> dict:
         "ms_per_rollout_min": round(1000.0 * min(times), 2),
         "ms_per_rollout_max": round(1000.0 * max(times), 2),
         "achieved_tflops": round(achieved_tflops, 1),
-        "mfu_vs_v5e_bf16_peak": round(
-            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 3),
+        "mfu_vs_v5e_bf16_peak": round(flops_lib.mfu(achieved_tflops), 3),
         "e2e_frames_per_sec": round(e2e_fps, 1),
         "batch": batch,
         "artifact_bytes": artifact_bytes,
