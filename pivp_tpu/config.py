@@ -100,6 +100,19 @@ class ModelConfig:
     # masks receive identical affine params per step (train_model.py:465-467);
     # the original TF code used distinct params per mask. True reproduces the
     # reference quirk; False gives each mask its own projection.
+    #
+    # DELIBERATE ASYMMETRY vs the other three quirk switches (which
+    # default to intent/False): this one defaults to the QUIRK. Reasons:
+    # (a) checkpoint shape compatibility — a reference-trained STP npz has
+    # one model/identity_params tensor, and flipping the default would
+    # make `pivp-convert` imports fail out of the box; (b) performance —
+    # shared params let ONE warp be computed and broadcast (exact by
+    # construction), vs num_masks-1 distinct warps (measured cost of the
+    # per-mask branch: tools/bench_matrix.py --stp_per_mask; see the
+    # BENCHMARKS.md variant matrix).
+    # The per-mask branch is fully supported and oracle-gated (forward +
+    # gradients, tests/test_reference_parity*.py); opt in with
+    # stp_shared_params=False / --stp_shared_params 0.
     stp_shared_params: bool = True
     # The reference scheduled_sample round-trips through CPU numpy and thus
     # detaches gradients for sampled frames (train_model.py:89-122). True

@@ -117,55 +117,60 @@ def convert(data_dir: str, out_dir: str, sequence_length: int = 10,
                     break
 
     csv_ref = []
-    j = 0
 
     def handle(args):
+        # The WHOLE per-sequence pipeline — decode + resize + npy/PNG
+        # writes — runs on the pool: PNG deflate dominates the full
+        # artifact contract (measured 16x the no-PNG cost,
+        # tools/bench_etl.py), and PIL releases the GIL during
+        # compression, so keeping it in the consumer loop would
+        # serialize the dominant stage on multi-core hosts.
         j, example = args
+        from PIL import Image
+
         jpegs, actions, states = decode_sequence(
             example, sequence_length, state_action_dimension,
             original_shape)
         small, full = process_frames(jpegs, resize_hw, original_shape)
-        return j, small, full, actions, states
+
+        np.save(os.path.join(out_dir, f"image_batch_{j}"), small)
+        # (T, 1, 5) layout for actions/states, per the reference
+        # artifact contract.
+        np.save(os.path.join(out_dir, f"action_batch_{j}"),
+                actions[:, None, :])
+        np.save(os.path.join(out_dir, f"state_batch_{j}"),
+                states[:, None, :])
+
+        ref = [j]
+        if create_img:
+            for k in range(small.shape[0]):
+                Image.fromarray(np.uint8(small[k] * 255)).save(
+                    os.path.join(out_dir, f"image_batch_{j}_{k}.png"))
+            ref.append(f"image_batch_{j}_*.png")
+        else:
+            ref.append("")
+        ref += [f"image_batch_{j}.npy", f"action_batch_{j}.npy",
+                f"state_batch_{j}.npy"]
+        if create_img_prediction:
+            np.save(os.path.join(out_dir, f"image_batch_pred_{j}"),
+                    full)
+            for k in range(full.shape[0]):
+                Image.fromarray(full[k]).save(
+                    os.path.join(out_dir,
+                                 f"image_batch_pred_{j}_{k}.png"))
+            ref += [f"image_batch_pred_{j}_*.png",
+                    f"image_batch_pred_{j}.npy"]
+        else:
+            ref += ["", ""]
+        return ref
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for j, small, full, actions, states in pool.map(
-                handle, enumerate(sequences())):
-            from PIL import Image
-
-            np.save(os.path.join(out_dir, f"image_batch_{j}"), small)
-            # (T, 1, 5) layout for actions/states, per the reference
-            # artifact contract.
-            np.save(os.path.join(out_dir, f"action_batch_{j}"),
-                    actions[:, None, :])
-            np.save(os.path.join(out_dir, f"state_batch_{j}"),
-                    states[:, None, :])
-
-            ref = [j]
-            if create_img:
-                for k in range(small.shape[0]):
-                    Image.fromarray(
-                        np.uint8(small[k] * 255)).save(
-                        os.path.join(out_dir,
-                                     f"image_batch_{j}_{k}.png"))
-                ref.append(f"image_batch_{j}_*.png")
-            else:
-                ref.append("")
-            ref += [f"image_batch_{j}.npy", f"action_batch_{j}.npy",
-                    f"state_batch_{j}.npy"]
-            if create_img_prediction:
-                np.save(os.path.join(out_dir, f"image_batch_pred_{j}"),
-                        full)
-                for k in range(full.shape[0]):
-                    Image.fromarray(full[k]).save(
-                        os.path.join(out_dir,
-                                     f"image_batch_pred_{j}_{k}.png"))
-                ref += [f"image_batch_pred_{j}_*.png",
-                        f"image_batch_pred_{j}.npy"]
-            else:
-                ref += ["", ""]
+        # pool.map preserves input order, so map.csv rows stay
+        # deterministic regardless of worker completion order.
+        for ref in pool.map(handle, enumerate(sequences())):
             csv_ref.append(ref)
-            if (j + 1) % 25 == 0:
-                logger.info("Converted %d sequences", j + 1)
+            if len(csv_ref) % 25 == 0:
+                logger.info("Converted %d sequences", len(csv_ref))
 
     with open(os.path.join(out_dir, "map.csv"), "w", newline="") as f:
         writer = csv.writer(f, quoting=csv.QUOTE_ALL)

@@ -50,7 +50,7 @@ SCALING_CONFIGS = [
 
 def bench_config(tag, model_type, num_masks, batch, k_sched,
                  height=64, width=64, remat=False, k_steps=None,
-                 literal=False):
+                 literal=False, **cfg_overrides):
     k_steps = k_steps or K
     cfg = ModelConfig(model_type=model_type, num_masks=num_masks,
                       sequence_length=SEQ, context_frames=CONTEXT,
@@ -59,7 +59,8 @@ def bench_config(tag, model_type, num_masks, batch, k_sched,
                       compute_dtype="bfloat16",
                       use_pallas=model_type != "STP",
                       scan_unroll=0 if remat else SEQ - 1,
-                      lstm_gate_compute="compute")
+                      lstm_gate_compute="compute",
+                      **cfg_overrides)
     if literal:
         from pivp_tpu import config as config_mod
         cfg = config_mod.as_reference_literal(cfg)
@@ -105,6 +106,14 @@ if __name__ == "__main__":
         for tag, b, h, w, remat, ko in SCALING_CONFIGS:
             bench_config(tag, "CDNA", 10, b, 900.0, height=h, width=w,
                          remat=remat, k_steps=ko)
+    elif "--stp_per_mask" in sys.argv:
+        # The non-quirk STP branch (original-TF distinct Linear(6) per
+        # mask): num_masks-1 genuinely different warps instead of the
+        # shared-warp broadcast — the measured cost of flipping
+        # stp_shared_params (config.py documents the default asymmetry
+        # with this number).
+        bench_config("STP b32 per-mask params", "STP", 10, 32, 900.0,
+                     stp_shared_params=False)
     elif "--literal" in sys.argv:
         # Reference-LITERAL semantics (--reference_literal): detached
         # scheduled sampling truncates backprop-through-time at each
