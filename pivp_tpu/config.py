@@ -11,7 +11,7 @@ programs (no data-dependent control flow leaks into jit).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 
@@ -173,6 +173,43 @@ class ModelConfig:
     # lstm_gate_compute precision/traffic trade-off.
     use_pallas_gates: bool = False
 
+    # MXU input-channel padding for the ConvLSTM gate convs (FORWARD
+    # only, via custom_vjp; backward runs the standard unpadded conv
+    # grads). The v5e conv lowering contracts input channels per kernel
+    # position, so a gate conv with cin < 128 starves the MXU K tile:
+    # measured per-shape (tools/conv_shape_attribution.py, b32 bench
+    # config) the cin=64 lstm1/2 gate convs run at 42% MFU and the
+    # cin=96 lstm3 conv at 48%, while the SAME conv at cin=128/192 hits
+    # 89-96%. Zero-padding cin to 128 is algebraically exact (zero
+    # channels contribute nothing) and applies only where cin < 128.
+    # Backward stays unpadded because a padded weight-gradient conv
+    # DOUBLES its FLOPs for rows that are discarded. The win is
+    # batch-dependent (tools/bench_conv_opts.py, real v5e): -3.4% at
+    # the reference b32 config (37.85 -> 36.57 ms/step), but +8% at b64
+    # and +5.6% at b128, where the conv's GEMM M dim is already wide
+    # enough that doubling K buys no rate. "auto" (default) pads only
+    # when the traced batch is <= 48; True/False force it.
+    pad_gate_convs: Union[bool, str] = "auto"
+    # Lower the 1x1 stride-1 convs (enc3 after the smear concat, the
+    # compositing-mask/enc7 output conv) through the XLA dot path as
+    # explicit (B*H*W, Cin) x (Cin, Cout) matmuls instead of the
+    # convolution tiler. Identical contraction; per-shape attribution
+    # showed the conv lowering at 0.8-6% MFU on these shapes with a
+    # batch-dependent cliff at b64 (BENCHMARKS.md round-5 note).
+    one_by_one_matmul: bool = False
+    # Evaluate enc0 (5x5 stride-2 conv on the 3-channel image,
+    # train_model.py:500) as a space-to-depth 3x3 stride-1 conv on a
+    # (H/2, W/2, 12)-packed input — the classic TPU stem-conv transform.
+    # Algebraically exact (same multiply-add set; the rearranged kernel
+    # zero-fills the 33 unused taps): every output position reads the
+    # same input pixels with the same weights. The win is the BACKWARD
+    # path: the reference layout's backward-to-input conv produces N=3
+    # output channels through a lhs_dilated window (measured 4.5% MFU,
+    # 70 us/op); in s2d coords it is a stride-1 3x3 conv producing N=12
+    # plus a free depth-to-space reshape. Default set by measurement
+    # (BENCHMARKS.md round-5 note).
+    enc0_space_to_depth: bool = False
+
     # State-cost weight (train_model.py:751).
     state_cost_weight: float = 1e-4
 
@@ -203,6 +240,10 @@ class ModelConfig:
                 f"{self.lstm_gate_compute!r}")
         if self.context_frames < 1:
             raise ValueError("context_frames must be >= 1")
+        if self.pad_gate_convs not in (True, False, "auto"):
+            raise ValueError(
+                f"pad_gate_convs must be True/False/'auto', got "
+                f"{self.pad_gate_convs!r}")
         if self.sequence_length <= self.context_frames:
             raise ValueError("sequence_length must exceed context_frames")
 
@@ -279,6 +320,10 @@ class TrainConfig:
     fused_cdna: bool = True
     # One merged masks+enc7 output conv (see ModelConfig.merge_output_convs).
     merge_output_convs: bool = True
+    # Forward-only gate-conv input-channel padding
+    # (ModelConfig.pad_gate_convs): 'auto' / True / False, or the CLI's
+    # '0'/'1' strings.
+    pad_gate_convs: Union[bool, str] = "auto"
     # Optimizer steps executed per device dispatch (amortizes host/tunnel
     # latency; per-iteration metrics are still recorded, and epoch
     # bookkeeping splits metric arrays at the exact step). 0 = auto:
@@ -374,6 +419,8 @@ class TrainConfig:
             use_pallas_gates=False,
             fused_cdna=self.fused_cdna,
             merge_output_convs=self.merge_output_convs,
+            pad_gate_convs={"0": False, "1": True}.get(
+                str(self.pad_gate_convs), self.pad_gate_convs),
             scan_unroll=unroll,
             **quirks,
         )

@@ -57,7 +57,8 @@ def cdna_head_parts(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     b = enc6.shape[0]
     if enc7_raw is None:
         enc7_raw = layers.deconv2d(params["enc7"], enc6, stride=1,
-                                   padding=0)
+                                   padding=0,
+                                   as_matmul=cfg.one_by_one_matmul)
     enc7 = jax.nn.relu(enc7_raw)
     synth = jax.nn.sigmoid(enc7)
     raw = layers.dense(params["cdna_kerns"], hidden5.reshape(b, -1))
@@ -96,7 +97,8 @@ def dna_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
     del hidden5
     if enc7_raw is None:
         enc7_raw = layers.deconv2d(params["enc7"], enc6, stride=1,
-                                   padding=0)
+                                   padding=0,
+                                   as_matmul=cfg.one_by_one_matmul)
     enc7 = jax.nn.relu(enc7_raw)
     local = None
     if cfg.use_pallas and not cfg.dna_border_zero:
@@ -137,7 +139,8 @@ def stp_head(params: Params, cfg: ModelConfig, enc6: jnp.ndarray,
              enc7_raw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = prev_image.shape[0]
     # No ReLU before the sigmoid here, unlike CDNA (train_model.py:454-455).
-    enc7 = (layers.deconv2d(params["enc7"], enc6, stride=1, padding=0)
+    enc7 = (layers.deconv2d(params["enc7"], enc6, stride=1, padding=0,
+                            as_matmul=cfg.one_by_one_matmul)
             if enc7_raw is None else enc7_raw)
     synth = jax.nn.sigmoid(enc7)
 

@@ -132,14 +132,25 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
     gd = (jnp.float32 if cfg.lstm_gate_compute == "float32"
           else cfg.dtype)
 
+    # "auto": pad only when the per-conv GEMM M dim (batch x spatial) is
+    # small enough that K starvation dominates — measured win at b32,
+    # loss at b64/b128 (BENCHMARKS.md round-5 note, config.py).
+    pgc = cfg.pad_gate_convs
+    if pgc == "auto":
+        pgc = prev_image.shape[0] <= 48
+
     def cell(p, st, inp):
         return convlstm.conv_lstm(p, st, inp, fb, gd,
-                                  pallas_gates=cfg.use_pallas_gates)
+                                  pallas_gates=cfg.use_pallas_gates,
+                                  pad_cin_to=(128 if pgc else 0))
     eps = cfg.layer_norm_eps
     s1, s2, s3, s4, s5, s6, s7 = lstm_states
 
     # Stage 0: enc0 conv 5x5 s2 + LayerNorm.
-    x = layers.conv2d(params["enc0"], prev_image, stride=2)
+    if cfg.enc0_space_to_depth:
+        x = layers.conv2d_s2d(params["enc0"], prev_image)
+    else:
+        x = layers.conv2d(params["enc0"], prev_image, stride=2)
     enc0 = relu(layers.layer_norm_flat(params["norm_enc0"], x, eps))
 
     # Stage 1: lstm1 -> LN -> lstm2 -> LN -> enc1 conv 3x3 s2.
@@ -165,7 +176,8 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
             state_action[:, None, None, :].astype(x.dtype),
             (b, hh, ww, state_action.shape[-1]))
         x = jnp.concatenate([x, smear], axis=-1)
-    enc3 = relu(layers.conv2d(params["enc3"], x, stride=1, padding=0))
+    enc3 = relu(layers.conv2d(params["enc3"], x, stride=1, padding=0,
+                              as_matmul=cfg.one_by_one_matmul))
 
     # Stage 4: lstm5 -> LN(hidden5) -> enc4 deconv up to H/4.
     s5, h = cell(params["lstm5"], s5, enc3)
@@ -203,13 +215,15 @@ def forward_step(params: Params, cfg: ModelConfig, lstm_states,
         mw, hw = params["masks"], params["head"]["enc7"]
         merged = {"w": jnp.concatenate([mw["w"], hw["w"]], axis=-1),
                   "b": jnp.concatenate([mw["b"], hw["b"]])}
-        out = layers.deconv2d(merged, enc6, stride=1, padding=0)
+        out = layers.deconv2d(merged, enc6, stride=1, padding=0,
+                              as_matmul=cfg.one_by_one_matmul)
         n_mask = cfg.num_masks + 1
         mask_logits = out[..., :n_mask]
         enc7_raw = out[..., n_mask:]
     else:
         mask_logits = layers.deconv2d(params["masks"], enc6, stride=1,
-                                      padding=0)
+                                      padding=0,
+                                      as_matmul=cfg.one_by_one_matmul)
     if cfg.is_cdna and cfg.fused_cdna:
         # Fused path: masked CDNA mixture collapsed to one per-pixel
         # kernel (transforms.fused_cdna_composite) — algebraically equal

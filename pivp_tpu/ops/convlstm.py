@@ -47,7 +47,8 @@ def zero_state(batch: int, height: int, width: int, out_ch: int,
 def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
               x: jnp.ndarray, forget_bias: float = 1.0,
               gate_dtype=jnp.float32,
-              pallas_gates: bool = False) -> Tuple[LSTMState, jnp.ndarray]:
+              pallas_gates: bool = False,
+              pad_cin_to: int = 0) -> Tuple[LSTMState, jnp.ndarray]:
     """One ConvLSTM step. Returns (new_state, h).
 
     `gate_dtype` is the precision of the gate nonlinearities. float32
@@ -63,7 +64,8 @@ def conv_lstm(params: Dict[str, jnp.ndarray], state: LSTMState,
     traffic simultaneously, so it supersedes the gate_dtype trade-off."""
     c, h = state
     inputs_h = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
-    gates = layers.conv2d(params, inputs_h, stride=1)
+    gates = layers.conv2d(params, inputs_h, stride=1,
+                          pad_cin_to=pad_cin_to)
     if pallas_gates:
         from pivp_tpu.ops.pallas import lstm_gates
 

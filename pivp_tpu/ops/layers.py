@@ -10,6 +10,7 @@ throughout (TPU conv-friendly), whereas the reference used Chainer's NCHW.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -50,23 +51,81 @@ def conv2d_init(key, in_ch: int, out_ch: int, ksize: int,
     return {"w": w, "b": jnp.zeros((out_ch,), dtype)}
 
 
-def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
-           padding: Optional[int] = None) -> jnp.ndarray:
-    """2D cross-correlation, NHWC.
-
-    `padding=None` uses Chainer's `pad=ksize//2` convention used everywhere
-    in the reference trunk (train_model.py:500-507 with pads 2/1/0).
-    """
-    w = params["w"].astype(x.dtype)
-    k = w.shape[0]
-    if padding is None:
-        padding = k // 2
-    out = lax.conv_general_dilated(
+def _raw_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+              padding: int) -> jnp.ndarray:
+    return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMENSION_NUMBERS,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_cin_padded(x, w, stride, padding, pad_to):
+    return _conv_cin_padded_fwd(x, w, stride, padding, pad_to)[0]
+
+
+def _conv_cin_padded_fwd(x, w, stride, padding, pad_to):
+    """Forward: zero-pad the contraction (input-channel) dim to `pad_to`
+    so the MXU K tile is full — exact, zero channels contribute 0. The
+    v5e conv lowering contracts cin per kernel position; cin=64 runs at
+    ~half the rate of cin=128 on otherwise identical convs (measured,
+    tools/conv_shape_attribution.py)."""
+    pad = pad_to - x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return _raw_conv(xp, wp, stride, padding), (x, w)
+
+
+def _conv_cin_padded_bwd(stride, padding, pad_to, res, dy):
+    # Standard UNPADDED conv grads: the backward-to-input conv contracts
+    # over cout (already wide) and the backward-to-weight conv would
+    # double its FLOPs for discarded pad rows if padded.
+    x, w = res
+    _, vjp = jax.vjp(lambda xx, ww: _raw_conv(xx, ww, stride, padding),
+                     x, w)
+    return vjp(dy)
+
+
+_conv_cin_padded.defvjp(_conv_cin_padded_fwd, _conv_cin_padded_bwd)
+
+
+def _matmul_1x1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """A 1x1 stride-1 pad-0 conv as an explicit (B*H*W, Cin) x
+    (Cin, Cout) matmul — identical contraction, but lowered through
+    XLA's dot path instead of the convolution tiler. Why this exists:
+    per-shape trace attribution (tools/conv_shape_attribution.py) showed
+    the [B,64,64,64]x[1,1,64,14] merged output conv running at 0.8-6%
+    MFU through the conv lowering, with a batch-dependent cliff at b64
+    (fwd 314 us/op vs 20 us/op at b32 for 2x the work)."""
+    b, h, wd, c = x.shape
+    y = jnp.dot(x.reshape(b * h * wd, c), w.reshape(w.shape[-2:]))
+    return y.reshape(b, h, wd, -1)
+
+
+def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
+           padding: Optional[int] = None,
+           pad_cin_to: int = 0,
+           as_matmul: bool = False) -> jnp.ndarray:
+    """2D cross-correlation, NHWC.
+
+    `padding=None` uses Chainer's `pad=ksize//2` convention used everywhere
+    in the reference trunk (train_model.py:500-507 with pads 2/1/0).
+    `pad_cin_to=N` zero-pads input channels to N in the forward pass only
+    (applies when cin < N; see _conv_cin_padded).
+    `as_matmul=True` lowers a 1x1 stride-1 pad-0 conv via the dot path.
+    """
+    w = params["w"].astype(x.dtype)
+    k = w.shape[0]
+    if padding is None:
+        padding = k // 2
+    if as_matmul and k == 1 and stride == 1 and padding == 0:
+        out = _matmul_1x1(x, w)
+    elif pad_cin_to and x.shape[-1] < pad_cin_to:
+        out = _conv_cin_padded(x, w, stride, padding, pad_cin_to)
+    else:
+        out = _raw_conv(x, w, stride, padding)
     return out + params["b"].astype(x.dtype)
 
 
@@ -86,7 +145,8 @@ def deconv2d_init(key, in_ch: int, out_ch: int, ksize: int,
 
 def deconv2d(params: Params, x: jnp.ndarray, stride: int = 1,
              padding: int = 0,
-             outsize: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+             outsize: Optional[Tuple[int, int]] = None,
+             as_matmul: bool = False) -> jnp.ndarray:
     """Transposed conv matching Chainer `L.Deconvolution2D(..., stride,
     pad, outsize)` semantics (reference enc4/enc5/enc6 at
     train_model.py:505-507 with outsize (16,16)/(32,32)/(64,64)).
@@ -98,6 +158,10 @@ def deconv2d(params: Params, x: jnp.ndarray, stride: int = 1,
     """
     w = params["w"].astype(x.dtype)
     k = w.shape[0]
+    if (as_matmul and k == 1 and stride == 1 and padding == 0
+            and outsize in (None, x.shape[1:3])):
+        # 1x1 stride-1 transposed conv == 1x1 conv (flip is identity).
+        return _matmul_1x1(x, w) + params["b"].astype(x.dtype)
     _, h, w_in, _ = x.shape
     base_h = (h - 1) * stride + k - 2 * padding
     base_w = (w_in - 1) * stride + k - 2 * padding
@@ -116,6 +180,61 @@ def deconv2d(params: Params, x: jnp.ndarray, stride: int = 1,
         window_strides=(1, 1),
         padding=((pad_lo, pad_lo + adj_h), (pad_lo, pad_lo + adj_w)),
         lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMENSION_NUMBERS,
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem conv (the classic TPU first-layer transform)
+# ---------------------------------------------------------------------------
+
+def _s2d_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a (5, 5, C, O) stride-2 kernel into the equivalent
+    (3, 3, 4*C, O) stride-1 kernel over 2x2 space-to-depth blocks.
+
+    Derivation: output i reads input rows r = 2i + di - 2, di in [0, 5).
+    In block coords r = 2(i + bI) + p with bI in {-1, 0, 1}, p in {0, 1},
+    so di = 2*bI + p + 2; (bI=1, p=1) -> di=5 is out of range and stays
+    zero (33 of 144 taps are structural zeros). Same multiply-add set as
+    the original conv — exact up to float reduction order.
+    """
+    k, _, c, o = w.shape
+    assert k == 5, "space-to-depth transform is for the 5x5 stride-2 stem"
+    w2 = jnp.zeros((3, 3, 2, 2, c, o), w.dtype)
+    for b_i in range(3):
+        for p in range(2):
+            di = 2 * (b_i - 1) + p + 2
+            if not 0 <= di < k:
+                continue
+            for b_j in range(3):
+                for q in range(2):
+                    dj = 2 * (b_j - 1) + q + 2
+                    if not 0 <= dj < k:
+                        continue
+                    w2 = w2.at[b_i, b_j, p, q].set(w[di, dj])
+    return w2.reshape(3, 3, 4 * c, o)
+
+
+def conv2d_s2d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """enc0 as a space-to-depth conv: (B, H, W, C) -> (B, H/2, W/2, O)
+    computing EXACTLY conv2d(params, x, stride=2) for a 5x5 kernel with
+    pad=2, but as a stride-1 3x3 conv on the (H/2, W/2, 4C)-packed input.
+
+    Why: the reference layout's backward-to-input conv emits N=C (=3)
+    output channels through an lhs_dilated window — measured 4.5% MFU,
+    ~70 us/op on v5e (tools/conv_shape_attribution.py). In s2d coords
+    the backward is a plain stride-1 conv producing 4C channels plus a
+    free depth-to-space reshape.
+    """
+    w = params["w"].astype(x.dtype)
+    b, h, wd, c = x.shape
+    x2 = x.reshape(b, h // 2, 2, wd // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+    out = lax.conv_general_dilated(
+        x2, _s2d_weight(w),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
         dimension_numbers=_DIMENSION_NUMBERS,
     )
     return out + params["b"].astype(x.dtype)

@@ -91,6 +91,11 @@ from pivp_tpu.utils import logging_utils
                    'as ONE conv over concatenated output channels '
                    '(algebraically exact; both are latency-bound '
                    'small-N 1x1 convs on enc6).')
+@click.option('--pad_gate_convs', type=click.STRING, default='auto',
+              help='Forward-only MXU input-channel padding of the '
+                   'ConvLSTM gate convs (exact): auto = on for '
+                   'batch <= 48 (measured: -3.4%% at b32, loses at '
+                   'b64/b128), 0 off, 1 on.')
 @click.option('--u8_transfer', type=click.INT, default=1,
               help='Ship frames to the device as uint8, dequantize '
                    'on-device (4x less host->device traffic).')
@@ -159,7 +164,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
          train_val_split, batch_size, learning_rate, gpu,
          validation_interval, save_interval, debug, seed, compute_dtype,
          num_devices, spatial_parallel, remat, use_pallas, fused_cdna,
-         merge_output_convs, u8_transfer,
+         merge_output_convs, pad_gate_convs, u8_transfer,
          steps_per_call, scan_unroll, prefetch, grad_accum, lazy_load,
          lstm_gate_compute, synthetic, profile_dir, checkpointer,
          run_name, graceful_preemption, reference_literal,
@@ -204,6 +209,7 @@ def main(data_dir, output_dir, event_log_dir, num_iterations,
         remat=bool(remat), use_pallas=use_pallas,
         fused_cdna=bool(fused_cdna),
         merge_output_convs=bool(merge_output_convs),
+        pad_gate_convs=pad_gate_convs,
         u8_transfer=bool(u8_transfer),
         steps_per_call=steps_per_call, scan_unroll=scan_unroll,
         prefetch=prefetch, grad_accum=grad_accum,

@@ -51,9 +51,15 @@ from tools import trace_top_ops  # noqa: E402
 
 SEQ, CONTEXT, K = 10, 2, 25
 
-_CONV_RE = re.compile(
-    r"(\w+(?:\.\d+)?) = \S+ convolution\(\s*(\S+?)\[?.*?"
-)
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%([\w\.\-]+)\s*=\s*\(?(\w+)\[([\d,]*)\]")
+_PARAM_RE = re.compile(r"%([\w\.\-]+):\s*\w+\[([\d,]*)\]")
+_HDR_RE = re.compile(r"^(?:ENTRY\s+)?%([\w\.\-]+)\s*\(")
+_CONV_LINE_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%([\w\.\-]+)\s*=\s*\w+\[([\d,]*)\]"
+    r"[^=]*?convolution\(([^)]*)\)")
+_FUSION_RE = re.compile(
+    r"%([\w\.\-]+)\s*=\s*[^=\n]*\sfusion\([^\n]*?calls=%([\w\.\-]+)")
 
 
 def build(batch: int, merge_output_convs: bool = True):
@@ -86,70 +92,80 @@ def parse_conv_fusions(hlo_text: str):
 
     HLO layout: `%name = ty fusion(...), kind=..., calls=%comp` at the
     callsite; each `%comp` computation body contains
-    `%x = ty convolution(arg0, arg1), window=..., dim_labels=...`.
+    `%x = ty[out] convolution(%a, %b), window=..., dim_labels=...` —
+    operands are BARE NAMES (no inline shapes), so operand shapes are
+    resolved through a global name->shape map built from every
+    instruction definition and computation-parameter declaration.
     """
-    # 1. computation name -> conv list
+    lines = hlo_text.splitlines()
+
+    # 0. global instruction/param name -> result shape (digits only).
+    shape_map: dict = {}
+    for line in lines:
+        m = _INSTR_RE.match(line)
+        if m:
+            shape_map[m.group(1)] = m.group(3)
+    for m in _PARAM_RE.finditer(hlo_text):
+        shape_map.setdefault(m.group(1), m.group(2))
+
+    # 1. computation name -> conv list (track the enclosing computation).
     comp_convs: dict = collections.defaultdict(list)
     cur_comp = None
-    for line in hlo_text.splitlines():
-        m = re.match(r"\s*%?([\w\.\-]+)\s*\(.*\)\s*->\s*.*\{", line)
-        if line.startswith("ENTRY"):
-            cur_comp = "__entry__"
+    for line in lines:
+        if line.rstrip().endswith("{") and "=" not in line.split("(")[0]:
+            if line.startswith("ENTRY"):
+                cur_comp = "__entry__"
+                continue
+            hm = _HDR_RE.match(line.strip())
+            if hm:
+                cur_comp = hm.group(1)
             continue
-        if m and "=" not in line.split("(")[0]:
-            cur_comp = m.group(1)
+        cm = _CONV_LINE_RE.match(line)
+        if not cm:
             continue
-        if "convolution(" in line:
-            cm = re.search(
-                r"=\s*(\w+)\[([\d,]*)\][^=]*convolution\("
-                r"\s*(\w+)\[([\d,]*)\][^,]*,\s*(\w+)\[([\d,]*)\]", line)
-            wm = re.search(r"window=\{([^}]*)\}", line)
-            dm = re.search(r"dim_labels=(\S+?)[,\s]", line)
-            if cm:
-                comp_convs[cur_comp].append({
-                    "out": cm.group(2), "lhs": cm.group(4),
-                    "rhs": cm.group(6),
-                    "window": wm.group(1) if wm else "",
-                    "dims": dm.group(1) if dm else "",
-                })
-    # 2. fusion instruction name -> computation name
-    fusion_map = {}
-    for m in re.finditer(
-            r"%?([\w\.\-]+)\s*=\s*\S+\s+fusion\([^)]*\).*?"
-            r"calls=%?([\w\.\-]+)", hlo_text):
-        fusion_map[m.group(1)] = m.group(2)
-    # bare (unfused) convolutions attribute to themselves
+        ops = [o.strip().lstrip("%") for o in cm.group(3).split(",")]
+        wm = re.search(r"window=\{([^}]*)\}", line)
+        dm = re.search(r"dim_labels=(\S+?)[,\s]", line)
+        om = re.search(r'op_name="([^"]*)"', line)
+        comp_convs[cur_comp].append({
+            "name": cm.group(1), "out": cm.group(2),
+            "lhs": shape_map.get(ops[0], ""),
+            "rhs": shape_map.get(ops[1], "") if len(ops) > 1 else "",
+            "window": wm.group(1) if wm else "",
+            "dims": dm.group(1) if dm else "",
+            "op_name": om.group(1) if om else "",
+        })
+
+    # 2. fusion instruction name -> computation name; join.
     out = {}
-    for fname, comp in fusion_map.items():
-        if comp in comp_convs:
-            out[fname] = comp_convs[comp]
-    for line in hlo_text.splitlines():
-        if "convolution(" in line and "fusion" not in line:
-            nm = re.match(r"\s*%?([\w\.\-]+)\s*=", line)
-            cm = re.search(
-                r"=\s*(\w+)\[([\d,]*)\][^=]*convolution\("
-                r"\s*(\w+)\[([\d,]*)\][^,]*,\s*(\w+)\[([\d,]*)\]", line)
-            if nm and cm:
-                out[nm.group(1)] = [{
-                    "out": cm.group(2), "lhs": cm.group(4),
-                    "rhs": cm.group(6), "window": "", "dims": ""}]
+    for m in _FUSION_RE.finditer(hlo_text):
+        if m.group(2) in comp_convs:
+            out[m.group(1)] = comp_convs[m.group(2)]
+    # bare convolutions (outside any fusion) attribute to themselves
+    for comp, descs in comp_convs.items():
+        for d in descs:
+            out.setdefault(d["name"], [d])
     return out
 
 
 def conv_flops(desc) -> int:
+    """Exact analytic MACs*2 for any conv (fwd, bwd-to-input,
+    bwd-to-weight): 2 * out_elems * reduction, where the reduction size
+    is prod(rhs) / rhs[o] with the 'o' dim read from dim_labels (e.g.
+    b01f_01io->b01f). Falls back to last-dim when labels are absent."""
     out = [int(x) for x in desc["out"].split(",") if x]
     rhs = [int(x) for x in desc["rhs"].split(",") if x]
-    # dim_labels like b01f_01io->b01f (NHWC/HWIO). Contracted size =
-    # prod(rhs) / cout where cout is the rhs 'o' dim = out feature dim.
-    # For grouped/batch-grouped convs this undercounts; the model uses
-    # none.
+    if not out or not rhs:
+        return 0
+    o_pos = len(rhs) - 1
+    dims = desc.get("dims", "")
+    if "_" in dims:
+        rhs_labels = dims.split("_")[1].split("->")[0]
+        if "o" in rhs_labels and len(rhs_labels) == len(rhs):
+            o_pos = rhs_labels.index("o")
     out_elems = int(np.prod(out))
-    rhs_elems = int(np.prod(rhs))
-    # find cout as the rhs dim matching the out feature dim size where
-    # possible; fall back to last rhs dim.
-    cout = rhs[-1] if rhs else 1
-    contracted = rhs_elems // max(cout, 1)
-    return 2 * out_elems * contracted
+    reduction = int(np.prod(rhs)) // max(rhs[o_pos], 1)
+    return 2 * out_elems * reduction
 
 
 def main() -> None:
@@ -204,7 +220,9 @@ def main() -> None:
         if name in conv_map:
             descs = conv_map[name]
             sig = " + ".join(
-                f"[{d['lhs']}]*[{d['rhs']}]->[{d['out']}]" for d in descs)
+                f"[{d['lhs']}]*[{d['rhs']}]->[{d['out']}] {d['window']}"
+                + (" BWD" if "transpose" in d.get("op_name", "") else "")
+                for d in descs)
             g = groups[sig]
             g["ms"] += ms
             g["ops"] += 1
