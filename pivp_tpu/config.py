@@ -196,7 +196,11 @@ class ModelConfig:
     # convolution tiler. Identical contraction; per-shape attribution
     # showed the conv lowering at 0.8-6% MFU on these shapes with a
     # batch-dependent cliff at b64 (BENCHMARKS.md round-5 note).
-    one_by_one_matmul: bool = False
+    # True = dot fwd+bwd (measured +4.7% at b32: the reshape breaks the
+    # LN/relu producer fusion); "bwd" = conv forward, dot backward
+    # (layers._conv1x1_hybrid — targets only the 75 us/op
+    # backward-to-input pathology).
+    one_by_one_matmul: Union[bool, str] = False
     # Evaluate enc0 (5x5 stride-2 conv on the 3-channel image,
     # train_model.py:500) as a space-to-depth 3x3 stride-1 conv on a
     # (H/2, W/2, 12)-packed input — the classic TPU stem-conv transform.
@@ -244,6 +248,10 @@ class ModelConfig:
             raise ValueError(
                 f"pad_gate_convs must be True/False/'auto', got "
                 f"{self.pad_gate_convs!r}")
+        if self.one_by_one_matmul not in (True, False, "bwd"):
+            raise ValueError(
+                f"one_by_one_matmul must be True/False/'bwd', got "
+                f"{self.one_by_one_matmul!r}")
         if self.sequence_length <= self.context_frames:
             raise ValueError("sequence_length must exceed context_frames")
 

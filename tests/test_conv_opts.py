@@ -106,6 +106,27 @@ def test_1x1_matmul_matches_conv():
         layers.conv2d(pc, xc, stride=1, padding=0), rtol=1e-5, atol=1e-5)
 
 
+def test_1x1_hybrid_bwd_matches_conv():
+    # "bwd" mode: conv forward (bitwise the plain path), dot backward
+    p = layers.deconv2d_init(jax.random.PRNGKey(0), 64, 14, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+
+    def loss(p, x, mode):
+        return jnp.sum(jnp.sin(layers.deconv2d(p, x, stride=1, padding=0,
+                                               as_matmul=mode)))
+
+    yh = layers.deconv2d(p, x, stride=1, padding=0, as_matmul="bwd")
+    yr = layers.deconv2d(p, x, stride=1, padding=0)
+    np.testing.assert_array_equal(yh, yr)     # identical forward conv
+
+    lh, gh = jax.value_and_grad(loss, argnums=(0, 1))(p, x, "bwd")
+    lr, gr = jax.value_and_grad(loss, argnums=(0, 1))(p, x, False)
+    np.testing.assert_allclose(lh, lr, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gh),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
 def test_pad_gate_convs_auto_policy():
     from pivp_tpu.config import TrainConfig
     assert TrainConfig(

@@ -52,6 +52,9 @@ ALL_VARIANTS = {
     "enc0_space_to_depth": {**_OFF, "enc0_space_to_depth": True},
     "one_by_one_matmul": {**_OFF, "one_by_one_matmul": True},
     "pad+1x1": {**_OFF, "pad_gate_convs": True, "one_by_one_matmul": True},
+    "1x1-bwd": {**_OFF, "one_by_one_matmul": "bwd"},
+    "pad+1x1-bwd": {**_OFF, "pad_gate_convs": True,
+                    "one_by_one_matmul": "bwd"},
     "all": {"pad_gate_convs": True, "enc0_space_to_depth": True,
             "one_by_one_matmul": True},
 }
@@ -99,10 +102,11 @@ def bench(tag: str, overrides: dict) -> float:
 
 def main() -> None:
     results = {tag: bench(tag, ov) for tag, ov in VARIANTS}
-    base = results["baseline"]
+    base_tag = next(iter(results))
+    base = results[base_tag]
     for tag, ms in results.items():
-        if tag != "baseline":
-            print(f"{tag}: {ms / base:.3f}x baseline")
+        if tag != base_tag:
+            print(f"{tag}: {ms / base:.3f}x {base_tag}")
 
 
 if __name__ == "__main__":
