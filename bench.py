@@ -57,6 +57,7 @@ def main() -> None:
     # Fastest honest training config — reproducible from public CLI flags:
     #   train_cli --compute_dtype bfloat16 --use_pallas 1 --scan_unroll 9
     #             --steps_per_call 25
+    # (pad_gate_convs defaults to "auto" and engages at b32 — round 5.)
     # Measured A/B ladder on TPU v5e (2026-08-16, host-fetch barriers):
     # f32 XLA 111.6 ms/step -> bf16+pallas 81.1 (round 1) -> +remat 63.2
     # -> +full scan unroll (remat off) 43.7. The full unroll removes the
